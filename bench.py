@@ -1,0 +1,87 @@
+"""Benchmark harness: demo scene, scattering + high-quality clouds, 1080p.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N, ...}
+
+Baseline: >120 Mrays/s at 1920×1080 (BASELINE.md) — the reference demo scene
+at 60 fps equivalent.  Also reports the optical-depth LUT bake latency (the
+reference's bake takes 2 frames of SubViewport round-trip; ours is one fused
+kernel).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+sys.path.insert(0, ".")
+
+HEIGHT, WIDTH = 1080, 1920
+BASELINE_MRAYS = 120.0
+FRAMES = 8
+
+
+def _time_frames(render_fn, scene, cam) -> float:
+    out = render_fn()
+    out["color"].block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(FRAMES):
+        scene.update(0.016 * (i + 1), cam)
+        out = render_fn()
+    out["color"].block_until_ready()
+    return (time.perf_counter() - t0) / FRAMES
+
+
+def main() -> None:
+    from godot_atmosphere_shader_tpu.models.demo import build_demo_scene, demo_camera
+    from godot_atmosphere_shader_tpu.ops.optical_depth import bake_optical_depth
+    from godot_atmosphere_shader_tpu.ops.pallas.megakernel import render_frame_pallas
+
+    scene = build_demo_scene(variant="clouds_high", procedural=True)
+    cam = demo_camera("avatar")
+    scene.update(0.0, cam)
+
+    dt_xla = _time_frames(lambda: scene.render(cam, HEIGHT, WIDTH), scene, cam)
+
+    atmo = scene.atmospheres[0]
+    try:
+        dt_pallas = _time_frames(
+            lambda: render_frame_pallas(atmo.build_params(), atmo.config, cam,
+                                        scene.opaque, HEIGHT, WIDTH,
+                                        block=(64, 256)),
+            scene, cam)
+    except Exception:
+        dt_pallas = float("inf")
+
+    dt = min(dt_xla, dt_pallas)
+    path = "xla" if dt_xla <= dt_pallas else "pallas"
+    mrays = HEIGHT * WIDTH / dt / 1e6
+
+    # LUT bake latency (256², 64 steps)
+    bake = jax.jit(lambda r, h, d: bake_optical_depth(r, h, d))
+    bake(100.0, 8.0, 0.5).block_until_ready()
+    tb = time.perf_counter()
+    for _ in range(10):
+        lut = bake(100.0, 8.0, 0.5)
+    lut.block_until_ready()
+    bake_ms = (time.perf_counter() - tb) / 10 * 1e3
+
+    print(json.dumps({
+        "metric": "demo scene scattering+clouds_high raymarch at 1080p",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "frame_ms": round(dt * 1e3, 2),
+        "path": path,
+        "xla_ms": round(dt_xla * 1e3, 2),
+        "pallas_ms": (None if dt_pallas == float("inf")
+                      else round(dt_pallas * 1e3, 2)),
+        "lut_bake_ms": round(bake_ms, 3),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

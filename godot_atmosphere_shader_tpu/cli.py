@@ -1,0 +1,108 @@
+"""Command-line tools: the L4 (editor/tooling) layer as a CLI.
+
+    python -m godot_atmosphere_shader_tpu.cli render --variant clouds --pose space -o out.png
+    python -m godot_atmosphere_shader_tpu.cli bake-lut --radius 100 --height 8 --density 0.5 -o lut.npy
+    python -m godot_atmosphere_shader_tpu.cli export-cubemap -o coverage.png
+    python -m godot_atmosphere_shader_tpu.cli benchmark
+
+Replaces the reference's editor plugin (inspector bake button,
+``tools/plugin.gd``) and its in-editor preview with offline commands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def cmd_render(args) -> None:
+    from .models.demo import build_demo_scene, demo_camera
+    from .utils.color import linear_to_srgb
+    from .utils.image_io import to_uint8, write_png
+
+    scene = build_demo_scene(variant=args.variant,
+                             procedural=not args.textures)
+    cam = demo_camera(args.pose)
+    scene.update(args.time, cam)
+    t0 = time.perf_counter()
+    out = scene.render(cam, args.size, args.size if args.width is None else args.width)
+    img = np.asarray(out["color"])
+    dt = time.perf_counter() - t0
+    srgb = np.asarray(linear_to_srgb(np.clip(img, 0.0, 1.0)))
+    write_png(args.output, to_uint8(srgb))
+    print(f"wrote {args.output} ({img.shape[1]}x{img.shape[0]}) in {dt:.2f}s "
+          f"(includes compile on first run)")
+
+
+def cmd_bake_lut(args) -> None:
+    from .ops.optical_depth import bake_optical_depth
+
+    lut = np.asarray(bake_optical_depth(args.radius, args.height, args.density,
+                                        resolution=args.resolution))
+    np.save(args.output, lut)
+    print(f"wrote {args.output}: {lut.shape} f32, max OD {lut.max():.3f}")
+
+
+def cmd_export_cubemap(args) -> None:
+    from .models.demo import COVERAGE_NOISE, COVERAGE_SCALE
+    from .models.noise_cubemap import NoiseCubemap
+
+    cm = NoiseCubemap(noise=COVERAGE_NOISE, resolution=args.resolution,
+                      scale=COVERAGE_SCALE)
+    sidecar = cm.save_as_image(args.output)
+    print(f"wrote {args.output} (3x2 atlas, {args.resolution}px faces) + {sidecar}")
+
+
+def cmd_benchmark(args) -> None:
+    import subprocess
+
+    subprocess.run([sys.executable, "bench.py"], check=True)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="godot_atmosphere_shader_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("render", help="render a demo-scene frame to PNG")
+    r.add_argument("--variant", default="clouds",
+                   choices=["no_clouds", "clouds", "clouds_high",
+                            "clouds_high_rm", "v1_no_clouds", "v1_clouds",
+                            "v1_clouds_high"])
+    r.add_argument("--pose", default="space",
+                   choices=["avatar", "exterior", "interior", "space"])
+    r.add_argument("--size", type=int, default=512)
+    r.add_argument("--width", type=int, default=None)
+    r.add_argument("--time", type=float, default=0.0)
+    r.add_argument("--textures", action="store_true",
+                   help="use baked textures instead of procedural fields")
+    r.add_argument("-o", "--output", default="frame.png")
+    r.set_defaults(fn=cmd_render)
+
+    b = sub.add_parser("bake-lut", help="bake the optical-depth LUT to .npy")
+    b.add_argument("--radius", type=float, default=100.0)
+    b.add_argument("--height", type=float, default=8.0)
+    b.add_argument("--density", type=float, default=0.5)
+    b.add_argument("--resolution", type=int, default=256)
+    b.add_argument("-o", "--output", default="optical_depth.npy")
+    b.set_defaults(fn=cmd_bake_lut)
+
+    e = sub.add_parser("export-cubemap",
+                       help="bake the coverage NoiseCubemap to an importable PNG")
+    e.add_argument("--resolution", type=int, default=256)
+    e.add_argument("-o", "--output", default="noise_cubemap.png")
+    e.set_defaults(fn=cmd_export_cubemap)
+
+    k = sub.add_parser("benchmark", help="run bench.py")
+    k.set_defaults(fn=cmd_benchmark)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,160 @@
+"""The golden demo scene.
+
+Reproduces ``/root/reference/addons/zylann.atmosphere/demo/planet_atmosphere_test.tscn``
+— planet R=100 with atmosphere H=8 and clouds, sun sphere + directional light
+at z≈598.7, moon, tumbling box, flying-avatar start pose — which is the
+reference's only integration fixture (``SURVEY.md §4``) and the scene our
+benchmark configs replicate.
+
+Two field modes:
+
+* ``procedural=True`` (default, the TPU fast path): cloud coverage and shape
+  are evaluated as noise in-kernel with specs mirroring the demo's
+  FastNoiseLite resources (coverage: domain-warped noise at NoiseCubemap
+  scale (100, 200, 100); shape: ridged 8-octave fractal as NoiseTexture3D).
+* ``procedural=False``: the same specs are *baked* into a coverage cubemap
+  and a 64³ shape texture which the renderer then samples — the reference's
+  actual texture pipeline, used for parity testing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from ..ops.noise import NoiseSpec
+from ..render.opaque import OpaqueScene
+from ..utils.camera import Camera, look_at
+from ..utils.color import srgb_to_linear
+from .params import ProceduralField, VariantConfig, VARIANTS
+from .scene import Node3D, PlanetAtmosphere, Scene
+
+#: demo NoiseTexture3D source (planet_atmosphere_test.tscn:48-57):
+#: FastNoiseLite type 2 (cellular), freq 0.1, fractal type 2 (ridged),
+#: 8 octaves, gain 0.665.  Cellular's 27-cell cost is bake-only; the
+#: procedural in-march spec uses the same fractal over the cheaper perlin
+#: basis (documented capability/visual tradeoff, SURVEY.md §7 hard part (c)).
+SHAPE_NOISE_BAKE = NoiseSpec(noise_type="cellular", frequency=0.1,
+                             fractal_type="ridged", octaves=8, gain=0.665,
+                             cellular_return="distance", seed=3)
+SHAPE_NOISE_FAST = NoiseSpec(noise_type="perlin", frequency=0.1,
+                             fractal_type="ridged", octaves=4, gain=0.665,
+                             seed=3)
+
+#: demo NoiseCubemap source (planet_atmosphere_test.tscn:59-69):
+#: default FastNoiseLite with domain warp (amp 90, freq 0.01, 3 octaves),
+#: cubemap scale (100, 200, 100).
+COVERAGE_NOISE = NoiseSpec(noise_type="simplex_smooth", frequency=0.01,
+                           warp_enabled=True, warp_amplitude=90.0,
+                           warp_frequency=0.01, warp_octaves=3, seed=11)
+COVERAGE_SCALE = (100.0, 200.0, 100.0)
+COVERAGE_RESOLUTION = 256
+
+#: NoiseTexture3D default size is 64³; one texture period per texcoord unit.
+SHAPE_TEXTURE_SIZE = 64
+
+
+def demo_variant(name: str = "clouds", procedural: bool = True) -> VariantConfig:
+    """The demo's shader variant with its cloud field specs attached."""
+    import dataclasses
+
+    cfg = VARIANTS[name]
+    if not cfg.clouds_enabled or not procedural:
+        return cfg
+    return dataclasses.replace(
+        cfg,
+        cloud_shape_noise=ProceduralField(
+            noise=SHAPE_NOISE_FAST,
+            scale=(float(SHAPE_TEXTURE_SIZE),) * 3),
+        cloud_coverage_noise=ProceduralField(
+            noise=COVERAGE_NOISE, scale=COVERAGE_SCALE),
+        cloud_coverage_interp=True,
+    )
+
+
+def build_demo_scene(variant: str = "clouds", procedural: bool = True) -> Scene:
+    """Planet + sun + moon + cube demo scene (tscn node-for-node)."""
+    sun = Node3D(position=(0.0, 0.0, 598.677), name="Sun")
+
+    atmo = PlanetAtmosphere(
+        planet_radius=100.0,
+        atmosphere_height=8.0,
+        sun=sun,
+        custom_shader=demo_variant(variant, procedural),
+        name="PlanetAthmosphere",  # sic, as in the tscn
+    )
+    # shader_params block (planet_atmosphere_test.tscn:101-114)
+    atmo.set_shader_parameter("u_density", 0.5)
+    atmo.set_shader_parameter("u_scattering_strength", 1.0)
+    atmo.set_shader_parameter("u_atmosphere_modulate", (1.0, 0.980392, 0.964706))
+    atmo.set_shader_parameter("u_atmosphere_ambient_color",
+                              (0.0196078, 0.0196078, 0.0431373))
+    atmo.set_shader_parameter("u_cloud_density_scale", 2.0)
+    atmo.set_shader_parameter("u_cloud_bottom", 0.2)
+    atmo.set_shader_parameter("u_cloud_top", 0.6)
+    atmo.set_shader_parameter("u_cloud_blend", 0.5)
+    atmo.set_shader_parameter("u_cloud_shape_invert", 1.0)
+    atmo.set_shader_parameter("u_cloud_coverage_bias", 0.0)
+    atmo.set_shader_parameter("u_cloud_shape_factor", 0.5)
+    atmo.set_shader_parameter("u_cloud_shape_scale", 0.1)
+
+    if not procedural and atmo.config.clouds_enabled:
+        from ..ops.sampling import bake_noise_cubemap, bake_noise_texture3d
+
+        atmo.set_shader_parameter(
+            "u_cloud_shape_texture",
+            bake_noise_texture3d(SHAPE_NOISE_BAKE, SHAPE_TEXTURE_SIZE))
+        atmo.set_shader_parameter(
+            "u_cloud_coverage_cubemap",
+            bake_noise_cubemap(COVERAGE_NOISE, COVERAGE_SCALE,
+                               COVERAGE_RESOLUTION))
+
+    # opaque geometry (planet_atmosphere_test.tscn:78-125)
+    ground_albedo = tuple(np.asarray(
+        srgb_to_linear(np.array([0.27451, 0.364706, 0.431373], np.float32))))
+    box_transform_world = np.array([
+        [0.737148, 2.23517e-08, -0.675732, 74.2016],
+        [0.662773, 0.194902, 0.723011, 13.2348],
+        [0.131701, -0.980823, 0.143672, 80.2044],
+        [0.0, 0.0, 0.0, 1.0],
+    ], np.float32)
+    # world→box: rigid inverse
+    r = box_transform_world[:3, :3]
+    t = box_transform_world[:3, 3]
+    w2b = np.eye(4, dtype=np.float32)
+    w2b[:3, :3] = r.T
+    w2b[:3, 3] = -r.T @ t
+
+    opaque = OpaqueScene.create(
+        spheres=[
+            ((0.0, 0.0, 0.0), 100.0, ground_albedo),  # Ground
+            ((0.0, 0.0, 598.677), 20.0, (4.0, 4.0, 4.0), 1.0),  # Sun (unshaded)
+            ((-188.991, 0.0, 192.584), 10.0, (0.6, 0.6, 0.6)),  # Moon
+        ],
+        boxes=[(w2b, (5.0, 15.0, 5.0), (0.7, 0.7, 0.7))],
+        # DirectionalLight under the sun, aimed at the planet (-Z toward origin)
+        light_dir=(0.0, 0.0, -1.0),
+        ambient=0.02,
+        sky_color=(0.001, 0.001, 0.002),
+    )
+
+    return Scene(atmospheres=[atmo], opaque=opaque)
+
+
+def demo_camera(pose: str = "avatar", height: int = 1080, width: int = 1920) -> Camera:
+    """Named camera poses for the benchmark configs (BASELINE.json)."""
+    if pose == "avatar":  # flying-avatar start (tscn:116-117)
+        return Camera.create(look_at((0.0, 0.0, 156.425), (0.0, 0.0, 0.0)),
+                             fov_y_deg=70.0, near=0.1, far=800.0)
+    if pose == "exterior":
+        return Camera.create(look_at((180.0, 60.0, 180.0), (0.0, 0.0, 0.0)),
+                             fov_y_deg=70.0, near=0.1, far=800.0)
+    if pose == "interior":  # inside the atmosphere, looking at the horizon
+        eye = (0.0, 104.0, 0.0)
+        return Camera.create(look_at(eye, (100.0, 100.0, 0.0)),
+                             fov_y_deg=70.0, near=0.1, far=800.0)
+    if pose == "space":
+        return Camera.create(look_at((0.0, 150.0, 420.0), (0.0, 0.0, 0.0)),
+                             fov_y_deg=70.0, near=0.1, far=800.0)
+    raise ValueError(f"unknown pose {pose!r}")

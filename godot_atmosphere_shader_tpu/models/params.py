@@ -1,0 +1,206 @@
+"""Runtime parameters and compile-time variant configs.
+
+The reference splits its configuration into three tiers
+(``SURVEY.md §5 config``):
+
+1. compile-time shader ``#define`` matrix (one ``.gdshader`` file per variant,
+   ``/root/reference/addons/zylann.atmosphere/shaders/*.gdshader``) —
+   here :class:`VariantConfig`, a frozen hashable dataclass used as a jit
+   static argument so each variant compiles its own fused kernel;
+2. runtime shader uniforms (``planet_atmosphere.gd:185-218`` exposes them by
+   reflection) — here :class:`AtmosphereParams`, a traced pytree whose fields
+   carry the same names as the uniforms minus the ``u_`` prefix, with the
+   same defaults as the shader declarations;
+3. scene files overriding both — ``models/scene.py`` + dict serialization.
+
+Color-typed uniforms (``source_color``) are declared in sRGB in the shaders
+and converted by Godot; constructors here take sRGB and store linear.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.noise import NoiseSpec
+from ..utils.color import srgb_to_linear
+
+
+def _f32(v):
+    return jnp.asarray(v, jnp.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class AtmosphereParams:
+    """The uniform surface of one atmosphere (SURVEY.md §2.4), as a pytree."""
+
+    # planet_common.gdshaderinc:4-6
+    planet_radius: jnp.ndarray
+    atmosphere_height: jnp.ndarray
+    sun_position: jnp.ndarray  # (3,) world space
+
+    # atmosphere_common.gdshaderinc:10
+    density: jnp.ndarray
+
+    # planet_atmosphere_main.gdshaderinc:60
+    sphere_depth_factor: jnp.ndarray
+
+    # atmosphere_funcs_v2.gdshaderinc:8-11 (colors stored linear)
+    scattering_strength: jnp.ndarray
+    scattering_wavelengths: jnp.ndarray  # (3,)
+    atmosphere_modulate: jnp.ndarray  # (3,)
+    atmosphere_ambient_color: jnp.ndarray  # (3,)
+
+    # atmosphere_funcs_v1.gdshaderinc:8-12 (colors stored linear)
+    day_color0: jnp.ndarray  # (3,)
+    day_color1: jnp.ndarray
+    night_color0: jnp.ndarray
+    night_color1: jnp.ndarray
+    day_night_transition_scale: jnp.ndarray
+
+    # cloud_funcs.gdshaderinc:5-16
+    cloud_density_scale: jnp.ndarray
+    cloud_bottom: jnp.ndarray
+    cloud_top: jnp.ndarray
+    cloud_blend: jnp.ndarray
+    cloud_shape_invert: jnp.ndarray
+    cloud_coverage_bias: jnp.ndarray
+    cloud_shape_factor: jnp.ndarray
+    cloud_shape_scale: jnp.ndarray
+    cloud_coverage_rotation: jnp.ndarray  # (2, 2), animated by the scene layer
+    world_to_model: jnp.ndarray  # (4, 4)
+    time: jnp.ndarray  # TIME uniform analog (detail noise animation)
+
+    # optional baked media (traced arrays; None ⇒ procedural per config)
+    optical_depth_lut: Optional[jnp.ndarray] = None  # (256, 256)
+    cloud_shape_texture: Optional[jnp.ndarray] = None  # (D, H, W) repeat-wrapped
+    cloud_coverage_cubemap: Optional[jnp.ndarray] = None  # (6, res, res)
+
+    @staticmethod
+    def create(planet_radius=1.0, atmosphere_height=0.1,
+               sun_position=(5000.0, 0.0, 0.0), density=0.2,
+               sphere_depth_factor=0.0, scattering_strength=20.0,
+               scattering_wavelengths=(700.0, 530.0, 440.0),
+               atmosphere_modulate=(1.0, 1.0, 1.0),
+               atmosphere_ambient_color=(0.0, 0.0, 0.002),
+               day_color0=(0.5, 0.8, 1.0), day_color1=(0.5, 0.8, 1.0),
+               night_color0=(0.2, 0.4, 0.8), night_color1=(0.2, 0.4, 0.8),
+               day_night_transition_scale=2.0,
+               cloud_density_scale=50.0, cloud_bottom=0.2, cloud_top=0.5,
+               cloud_blend=0.5, cloud_shape_invert=0.0,
+               cloud_coverage_bias=0.0, cloud_shape_factor=0.8,
+               cloud_shape_scale=1.0, cloud_coverage_rotation=None,
+               world_to_model=None, time=0.0,
+               optical_depth_lut=None, cloud_shape_texture=None,
+               cloud_coverage_cubemap=None,
+               colors_are_srgb: bool = True) -> "AtmosphereParams":
+        """Build params with the shader-declaration defaults.
+
+        ``colors_are_srgb=True`` mirrors Godot's ``source_color`` handling
+        for the modulate/ambient/day/night colors.
+        """
+        conv = srgb_to_linear if colors_are_srgb else _f32
+        if cloud_coverage_rotation is None:
+            cloud_coverage_rotation = jnp.eye(2, dtype=jnp.float32)
+        if world_to_model is None:
+            world_to_model = jnp.eye(4, dtype=jnp.float32)
+        return AtmosphereParams(
+            planet_radius=_f32(planet_radius),
+            atmosphere_height=_f32(atmosphere_height),
+            sun_position=_f32(sun_position),
+            density=_f32(density),
+            sphere_depth_factor=_f32(sphere_depth_factor),
+            scattering_strength=_f32(scattering_strength),
+            scattering_wavelengths=_f32(scattering_wavelengths),
+            atmosphere_modulate=conv(atmosphere_modulate),
+            atmosphere_ambient_color=conv(atmosphere_ambient_color),
+            day_color0=conv(day_color0), day_color1=conv(day_color1),
+            night_color0=conv(night_color0), night_color1=conv(night_color1),
+            day_night_transition_scale=_f32(day_night_transition_scale),
+            cloud_density_scale=_f32(cloud_density_scale),
+            cloud_bottom=_f32(cloud_bottom),
+            cloud_top=_f32(cloud_top),
+            cloud_blend=_f32(cloud_blend),
+            cloud_shape_invert=_f32(cloud_shape_invert),
+            cloud_coverage_bias=_f32(cloud_coverage_bias),
+            cloud_shape_factor=_f32(cloud_shape_factor),
+            cloud_shape_scale=_f32(cloud_shape_scale),
+            cloud_coverage_rotation=_f32(cloud_coverage_rotation),
+            world_to_model=_f32(world_to_model),
+            time=_f32(time),
+            optical_depth_lut=optical_depth_lut,
+            cloud_shape_texture=cloud_shape_texture,
+            cloud_coverage_cubemap=cloud_coverage_cubemap,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ProceduralField:
+    """A procedural stand-in for a baked texture: noise spec + domain scale.
+
+    For the cloud *shape* field, ``scale`` is the texture-period analog (the
+    reference's ``NoiseTexture3D`` holds noise over a 64³ voxel grid, so one
+    texture-coordinate unit spans 64 noise units).  For the *coverage* field
+    it is the ``NoiseCubemap.scale`` property applied to the unit direction
+    (``noise_cubemap.gd:38,130``).
+    """
+
+    noise: NoiseSpec
+    scale: Tuple[float, float, float] = (64.0, 64.0, 64.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class VariantConfig:
+    """Compile-time variant switches — the reference's ``#define`` matrix.
+
+    Hashable; passing a different config re-specializes the jitted render.
+    ``od_mode``/field specs are TPU-build extensions: they choose between
+    reference-parity texture sampling and the gather-free arithmetic path.
+    """
+
+    model: str = "v2"  # "v1" (ATMOSPHERE_LITE) | "v2"
+    atmosphere_steps: int = 8  # ATMOSPHERE_RAYMARCH_STEPS
+    clouds_enabled: bool = False  # CLOUDS_ENABLED
+    cloud_steps: int = 32  # CLOUDS_MAX_RAYMARCH_STEPS
+    raymarched_lighting: bool = False  # CLOUDS_RAYMARCHED_LIGHTING
+    clouds_always_low_quality: bool = True  # set in planet_atmosphere_main.gdshaderinc:49
+    reverse_z: bool = True  # REVERSE_Z
+    od_mode: str = "analytic"  # "analytic" | "lut"
+    # procedural field specs (None ⇒ sample the baked texture from params)
+    cloud_shape_noise: Optional[ProceduralField] = None
+    cloud_coverage_noise: Optional[ProceduralField] = None
+    # fast-path switches (quality/perf trades in the spirit of the
+    # reference's own march-distance clamp):
+    # lerp raw coverage along the marched segment instead of per-step field
+    # evaluation (the coverage field is band-limited; the segment is short)
+    cloud_coverage_interp: bool = False
+    # per-tile conditional skip of the integrators where no ray hits the
+    # shell — the idiomatic analog of the far cube mesh limiting shaded
+    # pixels (planet_atmosphere.gd:261-282)
+    tile_cull: bool = True
+
+
+#: The reference's shader variant files, name → config
+#: (``/root/reference/addons/zylann.atmosphere/shaders/planet_atmosphere*.gdshader``).
+VARIANTS = {
+    "no_clouds": VariantConfig(model="v2", atmosphere_steps=8),
+    "clouds": VariantConfig(model="v2", atmosphere_steps=8,
+                            clouds_enabled=True, cloud_steps=32),
+    "clouds_high": VariantConfig(model="v2", atmosphere_steps=8,
+                                 clouds_enabled=True, cloud_steps=64),
+    "clouds_high_rm": VariantConfig(model="v2", atmosphere_steps=8,
+                                    clouds_enabled=True, cloud_steps=64,
+                                    raymarched_lighting=True),
+    "v1_no_clouds": VariantConfig(model="v1", atmosphere_steps=16),
+    "v1_clouds": VariantConfig(model="v1", atmosphere_steps=16,
+                               clouds_enabled=True, cloud_steps=32),
+    "v1_clouds_high": VariantConfig(model="v1", atmosphere_steps=16,
+                                    clouds_enabled=True, cloud_steps=64),
+}
+
+DEFAULT_VARIANT = "no_clouds"  # planet_atmosphere.gd:13-14

@@ -1,0 +1,284 @@
+"""Scene API: the ``PlanetAtmosphere`` node re-imagined as a param manager.
+
+Mirrors ``/root/reference/addons/zylann.atmosphere/planet_atmosphere.gd``:
+the same exported properties (``planet_radius``, ``atmosphere_height``,
+``sun_path``→``sun``, ``custom_shader``→variant config,
+``clouds_rotation_speed``, ``force_fullscreen``), the same
+``set_shader_parameter``/``get_shader_parameter`` surface accepting the
+``u_*`` uniform names, the same rebake-on-change optical-depth semantics, and
+the same near/far LOD mode switch with its 1.1 hysteresis margin.  Instead of
+driving a ``ShaderMaterial`` every ``_process`` tick, ``update()`` refreshes a
+pytree of parameters that the jitted renderer consumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.optical_depth import OpticalDepthCache
+from ..render.opaque import OpaqueScene
+from ..render.renderer import render_frame
+from ..utils.camera import Camera, rigid_inverse
+from ..utils.color import srgb_to_linear
+from .params import AtmosphereParams, VariantConfig, VARIANTS, DEFAULT_VARIANT
+
+MODE_NEAR = 0
+MODE_FAR = 1
+SWITCH_MARGIN_RATIO = 1.1  # planet_atmosphere.gd:11
+
+#: set internally by the node; hidden from the user param surface
+#: (planet_atmosphere.gd:68-77)
+_API_SHADER_PARAMS = frozenset({
+    "u_planet_radius", "u_atmosphere_height", "u_clip_mode", "u_sun_position",
+    "u_world_to_model_matrix", "u_blue_noise_texture",
+    "u_cloud_coverage_rotation", "u_optical_depth_texture",
+})
+
+#: changing these triggers a LUT rebake (planet_atmosphere.gd:79-81)
+_PARAMS_AFFECTING_OPTICAL_DEPTH = frozenset({"u_density"})
+
+#: ``source_color`` uniforms: sRGB in, linear stored
+_COLOR_PARAMS = frozenset({
+    "u_atmosphere_modulate", "u_atmosphere_ambient_color",
+    "u_day_color0", "u_day_color1", "u_night_color0", "u_night_color1",
+})
+
+#: uniform name → AtmosphereParams field
+_UNIFORM_TO_FIELD = {
+    "u_planet_radius": "planet_radius",
+    "u_atmosphere_height": "atmosphere_height",
+    "u_sun_position": "sun_position",
+    "u_density": "density",
+    "u_sphere_depth_factor": "sphere_depth_factor",
+    "u_scattering_strength": "scattering_strength",
+    "u_scattering_wavelengths": "scattering_wavelengths",
+    "u_atmosphere_modulate": "atmosphere_modulate",
+    "u_atmosphere_ambient_color": "atmosphere_ambient_color",
+    "u_day_color0": "day_color0",
+    "u_day_color1": "day_color1",
+    "u_night_color0": "night_color0",
+    "u_night_color1": "night_color1",
+    "u_day_night_transition_scale": "day_night_transition_scale",
+    "u_cloud_density_scale": "cloud_density_scale",
+    "u_cloud_bottom": "cloud_bottom",
+    "u_cloud_top": "cloud_top",
+    "u_cloud_blend": "cloud_blend",
+    "u_cloud_shape_invert": "cloud_shape_invert",
+    "u_cloud_coverage_bias": "cloud_coverage_bias",
+    "u_cloud_shape_factor": "cloud_shape_factor",
+    "u_cloud_shape_scale": "cloud_shape_scale",
+    "u_cloud_shape_texture": "cloud_shape_texture",
+    "u_cloud_coverage_cubemap": "cloud_coverage_cubemap",
+    "u_world_to_model_matrix": "world_to_model",
+    "u_cloud_coverage_rotation": "cloud_coverage_rotation",
+    "u_optical_depth_texture": "optical_depth_lut",
+}
+
+
+class Node3D:
+    """Minimal scene-tree node: a global transform."""
+
+    def __init__(self, position=(0.0, 0.0, 0.0), transform=None, name=""):
+        if transform is None:
+            transform = np.eye(4, dtype=np.float32)
+            transform[:3, 3] = position
+        self.transform = np.asarray(transform, np.float32)
+        self.name = name
+
+    @property
+    def position(self):
+        return self.transform[:3, 3]
+
+
+class PlanetAtmosphere(Node3D):
+    """The reference node's API over a params pytree."""
+
+    def __init__(self, planet_radius: float = 1.0, atmosphere_height: float = 0.1,
+                 sun: Optional[Node3D] = None,
+                 custom_shader=None,  # variant name or VariantConfig
+                 clouds_rotation_speed: float = 1.0,
+                 force_fullscreen: bool = False,
+                 position=(0.0, 0.0, 0.0), transform=None, name="PlanetAtmosphere",
+                 **shader_params):
+        super().__init__(position=position, transform=transform, name=name)
+        self._params = AtmosphereParams.create(
+            planet_radius=planet_radius, atmosphere_height=atmosphere_height)
+        self._config = VARIANTS[DEFAULT_VARIANT]
+        self._uses_baked_optical_depth = False
+        self._lut_cache = OpticalDepthCache()
+        self.clouds_rotation_speed = clouds_rotation_speed
+        self.force_fullscreen = force_fullscreen
+        self.sun = sun
+        self.mode = MODE_FAR
+        self.atmo_clip_distance = 0.0
+        self.extra_cull_margin = planet_radius + atmosphere_height
+        if custom_shader is not None:
+            self.set_custom_shader(custom_shader)
+        for k, v in shader_params.items():
+            self.set_shader_parameter(k if k.startswith("u_") else "u_" + k, v)
+
+    # -- exported properties (planet_atmosphere.gd:20-54) --------------------
+
+    @property
+    def planet_radius(self) -> float:
+        return float(self._params.planet_radius)
+
+    @planet_radius.setter
+    def planet_radius(self, value: float):
+        value = max(float(value), 0.0)
+        self._params = dataclasses.replace(
+            self._params, planet_radius=jnp.float32(value))
+        self._update_cull_margin()
+
+    @property
+    def atmosphere_height(self) -> float:
+        return float(self._params.atmosphere_height)
+
+    @atmosphere_height.setter
+    def atmosphere_height(self, value: float):
+        value = max(float(value), 0.0)
+        self._params = dataclasses.replace(
+            self._params, atmosphere_height=jnp.float32(value))
+        self._update_cull_margin()
+
+    def _update_cull_margin(self):
+        self.extra_cull_margin = self.planet_radius + self.atmosphere_height
+
+    def set_custom_shader(self, shader):
+        """Variant switch; detects whether the variant consumes the baked LUT
+        (``planet_atmosphere.gd:118-141`` scans uniforms for
+        ``u_optical_depth_texture`` — all v2 variants declare it)."""
+        if isinstance(shader, str):
+            shader = VARIANTS[shader]
+        self._config = shader
+        self._uses_baked_optical_depth = (
+            shader.model == "v2" and shader.od_mode == "lut")
+
+    @property
+    def custom_shader(self) -> VariantConfig:
+        return self._config
+
+    # -- shader parameter surface (planet_atmosphere.gd:175-218) -------------
+
+    def set_shader_parameter(self, param_name: str, value):
+        field = _UNIFORM_TO_FIELD.get(param_name)
+        if field is None:
+            raise KeyError(f"unknown shader parameter {param_name!r}")
+        if param_name in _COLOR_PARAMS:
+            value = srgb_to_linear(np.asarray(value, np.float32)[:3])
+        elif field in ("cloud_shape_texture", "cloud_coverage_cubemap",
+                       "optical_depth_lut"):
+            value = None if value is None else jnp.asarray(value, jnp.float32)
+        else:
+            value = jnp.asarray(value, jnp.float32)
+        self._params = dataclasses.replace(self._params, **{field: value})
+
+    # deprecated aliases (planet_atmosphere.gd:163-172)
+    def set_shader_param(self, param_name: str, value):
+        import warnings
+
+        warnings.warn("set_shader_param is deprecated, use set_shader_parameter",
+                      DeprecationWarning, stacklevel=2)
+        self.set_shader_parameter(param_name, value)
+
+    def get_shader_parameter(self, param_name: str):
+        field = _UNIFORM_TO_FIELD.get(param_name)
+        if field is None:
+            raise KeyError(f"unknown shader parameter {param_name!r}")
+        return getattr(self._params, field)
+
+    def get_shader_param(self, param_name: str):
+        import warnings
+
+        warnings.warn("get_shader_param is deprecated, use get_shader_parameter",
+                      DeprecationWarning, stacklevel=2)
+        return self.get_shader_parameter(param_name)
+
+    def get_property_list(self):
+        """User-facing ``shader_params/*`` names, like the inspector listing
+        built by reflection at ``planet_atmosphere.gd:185-197``."""
+        return [f"shader_params/{n}" for n in _UNIFORM_TO_FIELD
+                if n not in _API_SHADER_PARAMS]
+
+    def get_configuration_warnings(self):
+        """(planet_atmosphere.gd:221-227)"""
+        if self.sun is None:
+            return ["The path to the sun is not assigned."]
+        if not isinstance(self.sun, Node3D):
+            return ["The assigned sun node is not a Node3D."]
+        return []
+
+    # -- per-frame update (planet_atmosphere.gd:285-341) ----------------------
+
+    def update(self, time_s: float, camera: Optional[Camera] = None,
+               cam_near: float = 0.1):
+        if camera is not None:
+            cam_pos = np.asarray(camera.view_to_world)[:3, 3]
+            cam_near = float(camera.near)
+        else:
+            cam_pos = self.position + np.array(
+                [10.0 * (self.planet_radius + self.atmosphere_height + cam_near),
+                 0.0, 0.0], np.float32)
+
+        # 1.75 ≈ sqrt(3): cube far-mesh corner distance (:300-303)
+        self.atmo_clip_distance = (1.75 * (self.planet_radius
+                                           + self.atmosphere_height + cam_near)
+                                   * SWITCH_MARGIN_RATIO)
+        d = float(np.linalg.norm(self.position - cam_pos))
+        is_near = d < self.atmo_clip_distance
+        self.mode = MODE_NEAR if (is_near or self.force_fullscreen) else MODE_FAR
+
+        updates = {}
+        if self.sun is not None:
+            updates["sun_position"] = jnp.asarray(self.sun.position, jnp.float32)
+        updates["world_to_model"] = jnp.asarray(
+            np.asarray(rigid_inverse(jnp.asarray(self.transform))), jnp.float32)
+        angle = time_s * math.radians(self.clouds_rotation_speed)
+        c, s = math.cos(angle), math.sin(angle)
+        # Transform2D().rotated(a) acts as [[c, -s], [s, c]] on xz (:338-341)
+        updates["cloud_coverage_rotation"] = jnp.asarray(
+            [[c, -s], [s, c]], jnp.float32)
+        updates["time"] = jnp.float32(time_s)
+        self._params = dataclasses.replace(self._params, **updates)
+
+    # -- param building -------------------------------------------------------
+
+    def build_params(self) -> AtmosphereParams:
+        """Materialize the pytree, baking the LUT if this variant samples it."""
+        params = self._params
+        if self._uses_baked_optical_depth:
+            lut = self._lut_cache.get(self.planet_radius, self.atmosphere_height,
+                                      float(params.density))
+            params = dataclasses.replace(params, optical_depth_lut=lut)
+        return params
+
+    @property
+    def config(self) -> VariantConfig:
+        return self._config
+
+
+class Scene:
+    """A renderable collection: atmospheres + opaque geometry + camera."""
+
+    def __init__(self, atmospheres=(), opaque: Optional[OpaqueScene] = None):
+        self.atmospheres = list(atmospheres)
+        self.opaque = opaque
+
+    def update(self, time_s: float, camera: Camera):
+        for atmo in self.atmospheres:
+            atmo.update(time_s, camera)
+
+    def render(self, camera: Camera, height: int, width: int):
+        """Sort atmospheres far→near (Godot's transparent-pass sorting) and
+        render one frame."""
+        cam_pos = np.asarray(camera.view_to_world)[:3, 3]
+        order = sorted(self.atmospheres,
+                       key=lambda a: -float(np.linalg.norm(a.position - cam_pos)))
+        params = tuple(a.build_params() for a in order)
+        configs = tuple(a.config for a in order)
+        return render_frame(params, configs, camera, self.opaque, height, width)

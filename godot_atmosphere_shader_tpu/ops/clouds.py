@@ -1,0 +1,321 @@
+"""Volumetric cloud layer between two spheres.
+
+Reference: ``/root/reference/addons/zylann.atmosphere/shaders/include/cloud_funcs.gdshaderinc``.
+Coverage (cubemap) + 3D shape noise + a parabolic height curve give density;
+lighting is either cheap (height ratio + sun glow) or a 6-step sun march;
+a planet-shadow smoothstep dims the night side; the result mixes alpha and
+additive blending over the atmosphere.
+
+Divergence handling: the reference's per-pixel ``if``s (occlusion early-outs
+at ``:265-278``, the ``alpha0 < 0.3`` density-quality switch at ``:130-136``)
+become branch-free masks — TPU lanes can't diverge.  The march itself always
+runs its static step count; lanes that shouldn't march contribute zero via a
+degenerate ``[t, t]`` interval.  Tile-level culling in the Pallas path
+recovers the early-out perf (``SURVEY.md §7 hard parts (b)``).
+
+Field abstraction: ``shape_fn(pos) → [0,1]`` and ``coverage_fn(pos) → [0,1]``
+are closures built by the renderer — either baked-texture sampling (reference
+parity) or procedural noise recomputation (the gather-free TPU fast path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+from ..utils.vecmath import (Vec3, dot, length, lerp, normalize, pow2,
+                             ray_sphere, saturate, smoothstep, blend_colors)
+
+
+@dataclasses.dataclass
+class CloudSettings:
+    """``CloudSettings`` struct (:18-23); values are traced scalars."""
+
+    bottom_height: jnp.ndarray  # absolute radius of layer bottom
+    top_height: jnp.ndarray  # absolute radius of layer top
+    density_scale: jnp.ndarray
+    ground_height: jnp.ndarray  # planet radius
+
+
+def height_curve(x):
+    """Parabolic vertical profile (:25-29)."""
+    return 1.0 - pow2(2.0 * x - 1.0)
+
+
+def raw_coverage(pos: Vec3, params, coverage_fn: Callable):
+    """Coverage field value at a model-space position: the animated xz
+    rotation (:43-45) followed by the cubemap/procedural lookup."""
+    rot = params.cloud_coverage_rotation
+    cov_x = rot[0, 0] * pos.x + rot[0, 1] * pos.z
+    cov_z = rot[1, 0] * pos.x + rot[1, 1] * pos.z
+    return coverage_fn(Vec3(cov_x, pos.y, cov_z))
+
+
+def get_density_full(pos: Vec3, time, settings: CloudSettings, params,
+                     shape_fn: Callable, coverage_fn: Callable,
+                     low: bool, always_low: bool, coverage_value=None):
+    """``get_density_full`` (:31-68).  ``pos`` is in planet model space.
+
+    ``coverage_value`` lets the marcher supply a precomputed raw coverage
+    (the ray-interpolation fast path) instead of sampling the field here.
+    """
+    if always_low:  # CLOUDS_ALWAYS_LOW_QUALITY (planet_atmosphere_main.gdshaderinc:49)
+        low = True
+
+    h = length(pos) - settings.bottom_height
+    height_ratio = h / (settings.top_height - settings.bottom_height)
+    hc = jnp.maximum(height_curve(height_ratio), 0.0)
+
+    coverage = (coverage_value if coverage_value is not None
+                else raw_coverage(pos, params, coverage_fn))
+    coverage = coverage - 0.25 * height_ratio + params.cloud_coverage_bias
+
+    shape = lerp(0.5, shape_fn(pos * params.cloud_shape_scale),
+                 params.cloud_shape_factor)
+
+    if low:
+        detail = 0.5
+    else:
+        detail = shape_fn(pos * 15.0 + Vec3(time * 0.01, time * 0.01, time * 0.01))
+
+    # u_cloud_shape_invert is a float switch in the shader (:57-59)
+    shape = jnp.where(params.cloud_shape_invert == 1.0, 1.0 - shape, shape)
+
+    density = (shape - 0.2 * detail + lerp(-1.2, 1.5, coverage)) * hc
+    density = density * 50.0 - 20.0
+    return saturate(density)
+
+
+def get_planet_shadow(pos: Vec3, sun_dir: Vec3):
+    """Night-side dimming (:78-90); only direction matters."""
+    return smoothstep(-0.3, 0.3, dot(normalize(pos), -sun_dir))
+
+
+def get_light_cheap(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, alpha,
+                    settings: CloudSettings):
+    """(:92-102) — height-ratio ambient + a pow16 sun glow through thin cloud."""
+    h = length(pos) - settings.bottom_height
+    height_ratio = h / (settings.top_height - settings.bottom_height)
+    dp = dot(ray_dir, sun_dir)
+    dp2 = dp * dp
+    dp4 = dp2 * dp2
+    dp8 = dp4 * dp4
+    glow = jnp.maximum(dp8 * dp8, 0.0)
+    return height_ratio + glow * (1.0 - alpha)
+
+
+def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
+                         settings: CloudSettings, params,
+                         shape_fn, coverage_fn, always_low: bool):
+    """6-step sun march (:104-151), step length ×1.2 growth, reach 0.15·layer.
+
+    The reference picks full vs low density per pixel by ``alpha0 < 0.3``;
+    with ``CLOUDS_ALWAYS_LOW_QUALITY`` both collapse to low.  When detail is
+    live we evaluate both and select — masked lanes, not branches.
+    """
+    steps = 6
+    layer = settings.top_height - settings.bottom_height
+    reach = layer * 0.15
+
+    pos0_height = length(pos0) - settings.bottom_height
+    pos0_height_ratio = pos0_height / layer
+
+    import jax.lax as lax
+
+    step_len0 = reach / float(steps)
+
+    def body(i, carry):
+        alpha, step_len = carry
+        pos = pos0 + sun_dir * (i.astype(jnp.float32) * step_len)
+        if always_low:
+            density = get_density_full(pos, time, settings, params,
+                                       shape_fn, coverage_fn, True, True)
+        else:
+            d_full = get_density_full(pos, time, settings, params,
+                                      shape_fn, coverage_fn, False, False)
+            d_low = get_density_full(pos, time, settings, params,
+                                     shape_fn, coverage_fn, True, False)
+            density = jnp.where(alpha0 < 0.3, d_full, d_low)
+        density = density * (step_len * settings.density_scale)
+        transmittance = jnp.exp(-density)
+        alpha = alpha + (1.0 - transmittance) * (1.0 - alpha)
+        return alpha, step_len * 1.2
+
+    alpha, _ = lax.fori_loop(0, steps, body,
+                             (jnp.zeros_like(alpha0), jnp.float32(1.0) * step_len0))
+
+    light0 = pos0_height_ratio * 0.2
+    return lerp(1.0, light0, alpha)
+
+
+def get_light(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, jitter, alpha, time,
+              settings: CloudSettings, params, shape_fn, coverage_fn,
+              raymarched: bool, always_low: bool):
+    """(:153-167): lighting model dispatch + planet shadow ×0.002."""
+    if raymarched:
+        light = get_light_raymarched(pos, sun_dir, jitter, alpha, time,
+                                     settings, params, shape_fn, coverage_fn,
+                                     always_low)
+    else:
+        light = get_light_cheap(pos, ray_dir, sun_dir, alpha, settings)
+    shadow = get_planet_shadow(pos, sun_dir)
+    return light * lerp(1.0, 0.002, shadow)
+
+
+def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
+                   sun_dir: Vec3, time, settings: CloudSettings, params,
+                   shape_fn, coverage_fn, steps: int,
+                   raymarched_lighting: bool, always_low: bool,
+                   coverage_interp: bool = False):
+    """``raymarch_cloud`` (:175-247).  Returns ``(total_light, alpha)``.
+
+    Includes the march-distance horizon hack (:181-204): marching distance is
+    clamped between a "space" and a "ground" budget blended by camera height,
+    which keeps the horizon from peering through the layer from orbit.
+    """
+    march_distance_space = 0.5 * jnp.sqrt(jnp.maximum(
+        1.0 - pow2(settings.ground_height / settings.top_height), 0.0)
+    ) * settings.bottom_height
+    march_distance_ground = 3.0 * march_distance_space
+    max_d = lerp(
+        march_distance_ground,
+        march_distance_space,
+        smoothstep(settings.bottom_height, settings.top_height * 1.05,
+                   length(ray_origin)),
+    )
+    t_end = t_begin + jnp.minimum(t_end - t_begin, max_d)
+
+    step_len = (t_end - t_begin) * (1.0 / float(steps))
+
+    total_transmittance = jnp.ones_like(t_begin)
+    total_light = jnp.zeros_like(t_begin)
+    alpha = jnp.zeros_like(t_begin)
+    pos = ray_origin + ray_dir * (jitter * step_len) + ray_dir * t_begin
+
+    if coverage_interp:
+        # Fast-path quality/perf trade in the spirit of the reference's own
+        # march-distance clamp (:181-204): the coverage field is band-limited
+        # (a 256²-cubemap analog) and the marched segment is short, so sample
+        # the raw coverage at the segment endpoints and lerp per step instead
+        # of evaluating the (expensive, domain-warped) field 64×/pixel.
+        cov0 = raw_coverage(pos, params, coverage_fn)
+        cov1 = raw_coverage(ray_origin + ray_dir * t_end, params, coverage_fn)
+        inv_steps_f = 1.0 / float(steps)
+
+    def body(i, carry):
+        pos_x, pos_y, pos_z, total_transmittance, total_light, alpha = carry
+        pos = Vec3(pos_x, pos_y, pos_z)
+        light = get_light(pos, ray_dir, sun_dir, jitter, alpha, time,
+                          settings, params, shape_fn, coverage_fn,
+                          raymarched_lighting, always_low)
+        coverage_value = None
+        if coverage_interp:
+            frac = (i.astype(jnp.float32) + 0.5) * inv_steps_f
+            coverage_value = cov0 + (cov1 - cov0) * frac
+        density = get_density_full(pos, time, settings, params,
+                                   shape_fn, coverage_fn, False, always_low,
+                                   coverage_value=coverage_value)
+        density = density * settings.density_scale
+
+        transmittance = jnp.exp(-density * step_len)
+        total_transmittance = jnp.maximum(total_transmittance * transmittance, 0.005)
+        total_light = total_light + light * density * step_len * total_transmittance
+        alpha = alpha + (1.0 - transmittance) * (1.0 - alpha)
+        pos = pos + ray_dir * step_len
+        return pos.x, pos.y, pos.z, total_transmittance, total_light, alpha
+
+    # lax.fori_loop keeps trace/compile time flat in the step count; the body
+    # is large enough (noise recompute) that cross-step fusion isn't the win.
+    import jax.lax as lax
+
+    carry = (pos.x, pos.y, pos.z, total_transmittance, total_light, alpha)
+    carry = lax.fori_loop(0, steps, body, carry)
+    _, _, _, _, total_light, alpha = carry
+    return total_light, alpha
+
+
+def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
+                  ray_origin: Vec3, ray_dir: Vec3, linear_depth,
+                  world_to_model, sun_dir: Vec3, jitter, time, params,
+                  shape_fn, coverage_fn, steps: int,
+                  raymarched_lighting: bool, always_low: bool,
+                  coverage_interp: bool = False, cull: bool = False):
+    """``render_clouds`` (:249-324) over whole pixel planes.
+
+    ``ray_origin``/``ray_dir``/``sun_dir``/``planet_center`` are **world**
+    space; the reference works in view space and converts with
+    ``u_world_to_model_matrix * INV_VIEW_MATRIX`` (:285-288) — we fold the
+    view step and transform world→model directly (identical result).
+    Returns updated ``(albedo, alpha)``.
+    """
+    from ..utils.camera import transform_dir, transform_point
+
+    clouds_bottom = params.planet_radius + params.cloud_bottom * params.atmosphere_height
+    clouds_top = params.planet_radius + params.cloud_top * params.atmosphere_height
+
+    top0, top1 = ray_sphere(planet_center, clouds_top, ray_origin, ray_dir)
+    hit_top = top0 != top1
+    bot0, bot1 = ray_sphere(planet_center, clouds_bottom, ray_origin, ray_dir)
+
+    t_begin = jnp.maximum(top0, 0.0)
+    t_end = jnp.minimum(top1, linear_depth)
+
+    # occlusion early-outs (:273-278) as a mask
+    visible = jnp.logical_and(
+        hit_top,
+        jnp.logical_and(
+            t_begin < linear_depth,
+            jnp.logical_or(linear_depth > bot1, bot0 > 0.0),
+        ),
+    )
+
+    ro_model = transform_point(world_to_model, ray_origin)
+    rd_model = transform_dir(world_to_model, ray_dir)
+    sd_model = transform_dir(world_to_model, sun_dir)
+
+    settings = CloudSettings(
+        bottom_height=clouds_bottom,
+        top_height=clouds_top,
+        density_scale=params.cloud_density_scale,
+        ground_height=params.planet_radius,
+    )
+
+    # masked lanes march a degenerate [t_begin, t_begin] interval
+    t_end_m = jnp.where(visible, t_end, t_begin)
+
+    def march():
+        light, a = raymarch_cloud(
+            ro_model, rd_model, t_begin, t_end_m, jitter, sd_model, time,
+            settings, params, shape_fn, coverage_fn, steps,
+            raymarched_lighting, always_low, coverage_interp=coverage_interp)
+        return light, a
+
+    if cull:
+        # per-tile occlusion early-out (:273-278) — the reference reports it
+        # saves ~0.5 ms/frame in ground views; here whole tiles skip the march
+        import jax.lax as lax
+
+        zero = jnp.zeros_like(t_begin)
+        cloud_light, cloud_alpha = lax.cond(
+            jnp.any(visible), march, lambda: (zero, zero))
+    else:
+        cloud_light, cloud_alpha = march()
+
+    cloud_albedo = Vec3(cloud_light, cloud_light, cloud_light)
+    blended_rgb, blended_a = blend_colors(albedo, alpha, cloud_albedo, cloud_alpha)
+    add_rgb = albedo + cloud_albedo * cloud_alpha
+    add_a = jnp.maximum(alpha, cloud_alpha)
+
+    cb = params.cloud_blend
+    out_rgb = Vec3(lerp(blended_rgb.x, add_rgb.x, cb),
+                   lerp(blended_rgb.y, add_rgb.y, cb),
+                   lerp(blended_rgb.z, add_rgb.z, cb))
+    out_a = lerp(blended_a, add_a, cb)
+
+    out_rgb = Vec3(jnp.where(visible, out_rgb.x, albedo.x),
+                   jnp.where(visible, out_rgb.y, albedo.y),
+                   jnp.where(visible, out_rgb.z, albedo.z))
+    out_a = jnp.where(visible, out_a, alpha)
+    return out_rgb, out_a

@@ -1,0 +1,386 @@
+"""The fused Pallas megakernel: opaque + atmosphere + clouds in one pass.
+
+The entire per-pixel pipeline of the reference — opaque scene, depth
+reconstruction, shell intersection, v1/v2 scattering march, cloud march,
+composite (``SURVEY.md §3.2``) — runs inside a single Pallas kernel tiled
+over the framebuffer.  HBM traffic per frame is just the output image plus a
+tiny scalar block; every intermediate lives in VMEM/registers.  That is the
+speed-of-light structure for this workload on TPU: it is bound by VPU
+arithmetic, not memory.
+
+Two design points make this possible:
+
+* **No gathers.**  The scalar/vector parameters arrive as one packed SMEM
+  block; the blue-noise jitter texture maps onto each tile through a modular
+  ``BlockSpec`` index map (its screen tiling is static, so the "texel fetch"
+  of ``planet_atmosphere_main.gdshaderinc:169`` becomes a plain block load);
+  sun optical depth is evaluated analytically; cloud noise is recomputed
+  arithmetically (procedural fields only — the variant config must carry
+  ``cloud_*_noise`` specs).
+* **Shared shading code.**  The kernel body calls the *same*
+  ``shade_atmosphere`` / ``render_opaque`` functions as the XLA path, feeding
+  them duck-typed views (``ArrView``) over the packed scalars.  One source of
+  truth; the parity tests compare the two paths directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from types import SimpleNamespace
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...models.params import AtmosphereParams, VariantConfig
+from ...render.atmosphere_pass import shade_atmosphere
+from ...render.jitter import blue_noise_256
+from ...render.opaque import OpaqueScene, render_opaque
+from ...utils.camera import Camera, rigid_inverse
+from ...utils.vecmath import Vec3, normalize
+
+
+class ArrView:
+    """Nested-tuple array view with numpy-ish indexing (``v[i]``, ``v[i, j]``)
+    so packed SMEM scalars can stand in for jnp arrays inside shared code."""
+
+    def __init__(self, data, shape):
+        self._d = data
+        self.shape = shape
+
+    def __getitem__(self, idx):
+        if isinstance(idx, tuple):
+            out = self._d
+            for k in idx:
+                out = out[k]
+            return out
+        if len(self.shape) == 1:
+            return self._d[idx]
+        return ArrView(self._d[idx], self.shape[1:])
+
+
+class _Layout:
+    """Field name → (offset, shape) for the packed scalar block."""
+
+    def __init__(self):
+        self.fields = {}
+        self.size = 0
+
+    def add(self, name: str, shape: Tuple[int, ...]):
+        n = int(np.prod(shape)) if shape else 1
+        self.fields[name] = (self.size, shape)
+        self.size += n
+
+
+def _build_layout(n_spheres: int, n_boxes: int) -> _Layout:
+    lay = _Layout()
+    # camera
+    lay.add("cam_pos", (3,))
+    lay.add("cam_rot", (3, 3))  # view→world rotation
+    lay.add("world_to_view", (4, 4))
+    lay.add("near", ())
+    lay.add("far", ())
+    lay.add("inv_fy", ())  # tan(fov_y/2)
+    # atmosphere params
+    lay.add("planet_center", (3,))
+    lay.add("sun_position", (3,))
+    lay.add("planet_radius", ())
+    lay.add("atmosphere_height", ())
+    lay.add("density", ())
+    lay.add("sphere_depth_factor", ())
+    lay.add("scattering_strength", ())
+    lay.add("scattering_wavelengths", (3,))
+    lay.add("atmosphere_modulate", (3,))
+    lay.add("atmosphere_ambient_color", (3,))
+    lay.add("day_color0", (3,))
+    lay.add("day_color1", (3,))
+    lay.add("night_color0", (3,))
+    lay.add("night_color1", (3,))
+    lay.add("day_night_transition_scale", ())
+    lay.add("cloud_density_scale", ())
+    lay.add("cloud_bottom", ())
+    lay.add("cloud_top", ())
+    lay.add("cloud_blend", ())
+    lay.add("cloud_shape_invert", ())
+    lay.add("cloud_coverage_bias", ())
+    lay.add("cloud_shape_factor", ())
+    lay.add("cloud_shape_scale", ())
+    lay.add("cloud_coverage_rotation", (2, 2))
+    lay.add("world_to_model", (4, 4))
+    lay.add("time", ())
+    # opaque scene
+    if n_spheres:
+        lay.add("sphere_centers", (n_spheres, 3))
+        lay.add("sphere_radii", (n_spheres,))
+        lay.add("sphere_albedos", (n_spheres, 3))
+        lay.add("sphere_unshaded", (n_spheres,))
+    if n_boxes:
+        lay.add("box_world_to_box", (n_boxes, 4, 4))
+        lay.add("box_half_sizes", (n_boxes, 3))
+        lay.add("box_albedos", (n_boxes, 3))
+    lay.add("light_dir", (3,))
+    lay.add("ambient", ())
+    lay.add("sky_color", (3,))
+    return lay
+
+
+def _pack(layout: _Layout, values: dict) -> jnp.ndarray:
+    parts = []
+    for name, (off, shape) in layout.fields.items():
+        v = jnp.asarray(values[name], jnp.float32).reshape(-1)
+        parts.append(v)
+    return jnp.concatenate(parts).reshape(1, -1)
+
+
+class _Reader:
+    def __init__(self, ref, layout: _Layout):
+        self._ref = ref
+        self._lay = layout
+
+    def scalar(self, name: str):
+        off, shape = self._lay.fields[name]
+        assert shape == ()
+        return self._ref[0, off]
+
+    def vec(self, name: str):
+        off, shape = self._lay.fields[name]
+        (n,) = shape
+        return tuple(self._ref[0, off + i] for i in range(n))
+
+    def view(self, name: str) -> ArrView:
+        off, shape = self._lay.fields[name]
+
+        def build(o, sh):
+            if len(sh) == 1:
+                return tuple(self._ref[0, o + i] for i in range(sh[0]))
+            stride = int(np.prod(sh[1:]))
+            return tuple(build(o + i * stride, sh[1:]) for i in range(sh[0]))
+
+        return ArrView(build(off, shape), shape)
+
+
+def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
+                 n_boxes: int, height: int, width: int, bh: int, bw: int,
+                 with_opaque: bool):
+    aspect = width / height
+
+    def kernel(scal_ref, blue_ref, out_r, out_g, out_b, out_a):
+        s = _Reader(scal_ref, layout)
+
+        # ---- per-pixel ray generation (view → world) ----
+        by = pl.program_id(0)
+        bx = pl.program_id(1)
+        iy = (by * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+              ).astype(jnp.float32)
+        ix = (bx * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
+              ).astype(jnp.float32)
+        ndc_x = 2.0 * (ix + 0.5) / width - 1.0
+        ndc_y = 1.0 - 2.0 * (iy + 0.5) / height
+        inv_fy = s.scalar("inv_fy")
+        dv = normalize(Vec3(ndc_x * (aspect * inv_fy), ndc_y * inv_fy,
+                            jnp.full((bh, bw), -1.0, jnp.float32)))
+        r = s.view("cam_rot")
+        ray_dir = Vec3(
+            r[0, 0] * dv.x + r[0, 1] * dv.y + r[0, 2] * dv.z,
+            r[1, 0] * dv.x + r[1, 1] * dv.y + r[1, 2] * dv.z,
+            r[2, 0] * dv.x + r[2, 1] * dv.y + r[2, 2] * dv.z,
+        )
+        cp = s.vec("cam_pos")
+        ray_origin = Vec3(cp[0], cp[1], cp[2])
+
+        # ---- opaque pass, fused ----
+        if with_opaque:
+            cam_view = SimpleNamespace(
+                position=ray_origin,
+                world_to_view=s.view("world_to_view"),
+                near=s.scalar("near"),
+                far=s.scalar("far"),
+            )
+            scene_view = SimpleNamespace(
+                sphere_centers=(s.view("sphere_centers") if n_spheres
+                                else ArrView((), (0, 3))),
+                sphere_radii=(s.view("sphere_radii") if n_spheres
+                              else ArrView((), (0,))),
+                sphere_albedos=(s.view("sphere_albedos") if n_spheres
+                                else ArrView((), (0, 3))),
+                sphere_unshaded=(s.view("sphere_unshaded") if n_spheres
+                                 else ArrView((), (0,))),
+                box_world_to_box=(s.view("box_world_to_box") if n_boxes
+                                  else ArrView((), (0, 4, 4))),
+                box_half_sizes=(s.view("box_half_sizes") if n_boxes
+                                else ArrView((), (0, 3))),
+                box_albedos=(s.view("box_albedos") if n_boxes
+                             else ArrView((), (0, 3))),
+                light_dir=s.vec("light_dir"),
+                ambient=s.scalar("ambient"),
+                sky_color=s.vec("sky_color"),
+            )
+            bg, _depth, linear_depth = render_opaque(
+                scene_view, cam_view, bh, bw, reverse_z=config.reverse_z,
+                ray_dir=ray_dir)
+        else:
+            bg = Vec3(*(jnp.zeros((bh, bw), jnp.float32) for _ in range(3)))
+            linear_depth = jnp.full((bh, bw), 1e7, jnp.float32)
+
+        # ---- atmosphere + clouds (shared shading core) ----
+        params_view = SimpleNamespace(
+            planet_radius=s.scalar("planet_radius"),
+            atmosphere_height=s.scalar("atmosphere_height"),
+            sun_position=s.vec("sun_position"),
+            density=s.scalar("density"),
+            sphere_depth_factor=s.scalar("sphere_depth_factor"),
+            scattering_strength=s.scalar("scattering_strength"),
+            scattering_wavelengths=s.vec("scattering_wavelengths"),
+            atmosphere_modulate=s.vec("atmosphere_modulate"),
+            atmosphere_ambient_color=s.vec("atmosphere_ambient_color"),
+            day_color0=s.vec("day_color0"),
+            day_color1=s.vec("day_color1"),
+            night_color0=s.vec("night_color0"),
+            night_color1=s.vec("night_color1"),
+            day_night_transition_scale=s.scalar("day_night_transition_scale"),
+            cloud_density_scale=s.scalar("cloud_density_scale"),
+            cloud_bottom=s.scalar("cloud_bottom"),
+            cloud_top=s.scalar("cloud_top"),
+            cloud_blend=s.scalar("cloud_blend"),
+            cloud_shape_invert=s.scalar("cloud_shape_invert"),
+            cloud_coverage_bias=s.scalar("cloud_coverage_bias"),
+            cloud_shape_factor=s.scalar("cloud_shape_factor"),
+            cloud_shape_scale=s.scalar("cloud_shape_scale"),
+            cloud_coverage_rotation=s.view("cloud_coverage_rotation"),
+            world_to_model=s.view("world_to_model"),
+            time=s.scalar("time"),
+            optical_depth_lut=None,
+        )
+        pc = s.vec("planet_center")
+        planet_center = Vec3(pc[0], pc[1], pc[2])
+
+        jitter = blue_ref[:]
+
+        rgb, alpha, mask = shade_atmosphere(
+            params_view, config, ray_origin, ray_dir, linear_depth, jitter,
+            planet_center)
+
+        a = jnp.where(mask, alpha, 0.0)
+        out_r[:] = bg.x * (1.0 - a) + rgb.x * a
+        out_g[:] = bg.y * (1.0 - a) + rgb.y * a
+        out_b[:] = bg.z * (1.0 - a) + rgb.z * a
+        out_a[:] = a
+
+    return kernel
+
+
+def _check_config(config: VariantConfig):
+    if config.od_mode != "analytic":
+        raise ValueError("megakernel requires od_mode='analytic' "
+                         "(LUT gathers are unsupported in-kernel)")
+    if config.clouds_enabled and (config.cloud_shape_noise is None
+                                  or config.cloud_coverage_noise is None):
+        raise ValueError("megakernel clouds need procedural field specs "
+                         "(cloud_shape_noise / cloud_coverage_noise)")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "height", "width", "block", "with_opaque",
+                     "n_spheres", "n_boxes", "interpret"))
+def _render_pallas_jit(scalars, config, height, width, block, with_opaque,
+                       n_spheres, n_boxes, interpret=False):
+    bh, bw = block
+    layout = _build_layout(n_spheres, n_boxes)
+    kernel = _make_kernel(config, layout, n_spheres, n_boxes, height, width,
+                          bh, bw, with_opaque)
+    blue = jnp.asarray(blue_noise_256())
+    tb_y = max(256 // bh, 1)
+    tb_x = max(256 // bw, 1)
+
+    grid = (pl.cdiv(height, bh), pl.cdiv(width, bw))
+    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)] * 4
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, layout.size), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            # blue-noise tile: modular index map implements the screen-space
+            # 256-periodic tiling without any per-pixel gather
+            pl.BlockSpec((min(bh, 256), min(bw, 256)),
+                         lambda i, j: (i % tb_y, j % tb_x),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scalars, blue)
+    return outs
+
+
+def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
+                        camera: Camera, opaque: Optional[OpaqueScene],
+                        height: int, width: int,
+                        block: Tuple[int, int] = (128, 256),
+                        interpret: bool = False) -> dict:
+    """Render one frame with the fused megakernel.
+
+    Returns ``{"color": (H, W, 3), "alpha": (H, W)}``.  Requires analytic OD
+    and procedural cloud fields (the gather-free fast path).
+    """
+    _check_config(config)
+    bh, bw = block
+    if 256 % min(bh, 256) or 256 % min(bw, 256):
+        raise ValueError("block dims must divide 256 (blue-noise tiling)")
+
+    n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
+    n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
+    layout = _build_layout(n_spheres, n_boxes)
+
+    model_to_world = rigid_inverse(params.world_to_model)
+    inv_fy = jnp.tan(camera.fov_y_rad * 0.5)
+
+    values = {
+        "cam_pos": camera.view_to_world[:3, 3],
+        "cam_rot": camera.view_to_world[:3, :3],
+        "world_to_view": camera.world_to_view,
+        "near": camera.near,
+        "far": camera.far,
+        "inv_fy": inv_fy,
+        "planet_center": model_to_world[:3, 3],
+    }
+    for name in ("sun_position", "planet_radius", "atmosphere_height",
+                 "density", "sphere_depth_factor", "scattering_strength",
+                 "scattering_wavelengths", "atmosphere_modulate",
+                 "atmosphere_ambient_color", "day_color0", "day_color1",
+                 "night_color0", "night_color1", "day_night_transition_scale",
+                 "cloud_density_scale", "cloud_bottom", "cloud_top",
+                 "cloud_blend", "cloud_shape_invert", "cloud_coverage_bias",
+                 "cloud_shape_factor", "cloud_shape_scale",
+                 "cloud_coverage_rotation", "world_to_model", "time"):
+        values[name] = getattr(params, name)
+    if opaque is not None:
+        if n_spheres:
+            values["sphere_centers"] = opaque.sphere_centers
+            values["sphere_radii"] = opaque.sphere_radii
+            values["sphere_albedos"] = opaque.sphere_albedos
+            values["sphere_unshaded"] = opaque.sphere_unshaded
+        if n_boxes:
+            values["box_world_to_box"] = opaque.box_world_to_box
+            values["box_half_sizes"] = opaque.box_half_sizes
+            values["box_albedos"] = opaque.box_albedos
+        values["light_dir"] = opaque.light_dir
+        values["ambient"] = opaque.ambient
+        values["sky_color"] = opaque.sky_color
+    else:
+        values["light_dir"] = jnp.zeros(3, jnp.float32)
+        values["ambient"] = jnp.float32(0.0)
+        values["sky_color"] = jnp.zeros(3, jnp.float32)
+
+    scalars = _pack(layout, values)
+    r, g, b, a = _render_pallas_jit(
+        scalars, config, height, width, (bh, bw), opaque is not None,
+        n_spheres, n_boxes, interpret=interpret)
+    return {"color": jnp.stack([r, g, b], axis=-1), "alpha": a}

@@ -1,0 +1,102 @@
+"""Multi-chip rendering: pure data parallelism over framebuffer rows.
+
+The algorithm has zero cross-pixel communication — every pixel's scattering
+integral is independent (``SURVEY.md §2.3``) — so the idiomatic TPU scaling
+is a 1-D device mesh with the framebuffer row-sharded via ``shard_map``.
+Small state (params pytree, camera) is replicated; the only ICI traffic is
+the initial broadcast and the output gather, both handled by the runtime's
+sharding machinery.  A sharded render bit-matches the single-chip render on
+the same scene, which the multi-chip tests assert exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.params import AtmosphereParams, VariantConfig
+from ..render.atmosphere_pass import atmosphere_pass, composite_over
+from ..render.jitter import jitter_plane
+from ..render.opaque import OpaqueScene, render_opaque
+from ..utils.camera import Camera, world_ray_dirs
+from ..utils.vecmath import Vec3
+
+
+def make_mesh(devices=None, axis_name: str = "rows") -> Mesh:
+    """1-D mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _shade_slice(atmospheres, configs, camera, opaque,
+                 ray_dir_x, ray_dir_y, ray_dir_z, jitter):
+    """Per-device body: shade a row-slice of the framebuffer."""
+    ray_dir = Vec3(ray_dir_x, ray_dir_y, ray_dir_z)
+    h, w = ray_dir_x.shape
+    reverse_z = configs[0].reverse_z if configs else True
+
+    if opaque is not None:
+        bg, depth, linear_depth = render_opaque(
+            opaque, camera, h, w, reverse_z=reverse_z, ray_dir=ray_dir)
+    else:
+        bg = Vec3(*(jnp.zeros((h, w), jnp.float32) for _ in range(3)))
+        depth = jnp.zeros((h, w), jnp.float32)
+        linear_depth = jnp.full((h, w), 1e7, jnp.float32)
+
+    color = bg
+    for params, config in zip(atmospheres, configs):
+        rgb, alpha, mask = atmosphere_pass(
+            params, config, camera, h, w,
+            jitter=jitter, ray_dir=ray_dir, linear_depth=linear_depth)
+        color = composite_over(color, rgb, alpha, mask)
+
+    return jnp.stack([color.x, color.y, color.z], axis=-1)
+
+
+def render_frame_sharded(atmospheres: Tuple[AtmosphereParams, ...],
+                         configs: Tuple[VariantConfig, ...],
+                         camera: Camera,
+                         opaque: Optional[OpaqueScene],
+                         height: int, width: int,
+                         mesh: Mesh) -> jnp.ndarray:
+    """Render one frame with the framebuffer row-sharded over ``mesh``.
+
+    ``height`` must divide evenly by the mesh size (pad at the caller
+    otherwise).  Returns the full ``(H, W, 3)`` image (sharded device output;
+    converting to numpy gathers it).
+    """
+    if isinstance(atmospheres, AtmosphereParams):
+        atmospheres = (atmospheres,)
+    if isinstance(configs, VariantConfig):
+        configs = (configs,)
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if height % n != 0:
+        raise ValueError(f"height {height} not divisible by mesh size {n}")
+
+    row_sharded = P(axis, None)
+    replicated = P()
+
+    @functools.partial(jax.jit, static_argnames=("cfgs",))
+    def go(atmos, cfgs, cam, opq):
+        ray_dir = world_ray_dirs(cam, height, width)
+        jitter = jitter_plane(height, width)
+
+        body = shard_map(
+            lambda a, c, o, rx, ry, rz, j: _shade_slice(a, cfgs, c, o, rx, ry, rz, j),
+            mesh=mesh,
+            in_specs=(replicated, replicated, replicated,
+                      row_sharded, row_sharded, row_sharded, row_sharded),
+            out_specs=P(axis, None, None),
+            check_rep=False,
+        )
+        return body(atmos, cam, opq, ray_dir.x, ray_dir.y, ray_dir.z, jitter)
+
+    return go(tuple(atmospheres), tuple(configs), camera, opaque)

@@ -1,0 +1,76 @@
+"""Top-level frame renderer: ``render(scene, camera, config) → frame``.
+
+One pure jitted function per (variant config, resolution): the analog of the
+reference's per-frame flow (``SURVEY.md §3.2``) — opaque pass, then each
+atmosphere drawn back-to-front as an unshaded transparent layer composited
+with depth awareness, exactly like Godot's transparent-pass sorting of
+``PlanetAtmosphere`` meshes (``README.md:11``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.params import AtmosphereParams, VariantConfig
+from ..utils.camera import Camera
+from ..utils.vecmath import Vec3
+from .atmosphere_pass import atmosphere_pass, composite_over
+from .jitter import jitter_plane
+from .opaque import OpaqueScene, render_opaque
+
+
+def render_frame_impl(atmospheres: Sequence[AtmosphereParams],
+                      configs: Tuple[VariantConfig, ...],
+                      camera: Camera,
+                      opaque: Optional[OpaqueScene],
+                      height: int, width: int) -> dict:
+    """Trace one frame.  ``atmospheres`` are pre-sorted far→near."""
+    reverse_z = configs[0].reverse_z if configs else True
+    if opaque is not None:
+        bg, depth, linear_depth = render_opaque(opaque, camera, height, width,
+                                                reverse_z=reverse_z)
+    else:
+        bg = Vec3(*(jnp.zeros((height, width), jnp.float32) for _ in range(3)))
+        depth = None
+        linear_depth = jnp.full((height, width), 1e7, jnp.float32)
+
+    jitter = jitter_plane(height, width)
+
+    color = bg
+    alpha_out = jnp.zeros((height, width), jnp.float32)
+    for params, config in zip(atmospheres, configs):
+        rgb, alpha, mask = atmosphere_pass(
+            params, config, camera, height, width,
+            jitter=jitter, linear_depth=linear_depth)
+        color = composite_over(color, rgb, alpha, mask)
+        alpha_out = jnp.maximum(alpha_out, jnp.where(mask, alpha, 0.0))
+
+    image = jnp.stack([color.x, color.y, color.z], axis=-1)
+    out = {"color": image, "alpha": alpha_out}
+    if depth is not None:
+        out["depth"] = depth
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("configs", "height", "width"))
+def _render_jit(atmospheres, configs, camera, opaque, height, width):
+    return render_frame_impl(atmospheres, configs, camera, opaque, height, width)
+
+
+def render_frame(atmospheres, configs, camera, opaque, height: int, width: int):
+    """Jitted frame render.
+
+    ``atmospheres``: tuple of :class:`AtmosphereParams` (far→near);
+    ``configs``: matching tuple of :class:`VariantConfig` (static — each
+    distinct combination compiles once, like the reference's shader variants).
+    """
+    if isinstance(atmospheres, AtmosphereParams):
+        atmospheres = (atmospheres,)
+    if isinstance(configs, VariantConfig):
+        configs = (configs,)
+    return _render_jit(tuple(atmospheres), tuple(configs), camera, opaque,
+                       height, width)

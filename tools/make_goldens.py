@@ -1,0 +1,94 @@
+"""Generate golden render statistics for the five BASELINE.json configs.
+
+Writes ``tests/goldens.json``: per-config overall stats plus a coarse 4×6
+grid of region means — strong enough to catch any real rendering regression,
+loose enough to survive compiler/version drift.  Regenerate ONLY when an
+intentional visual change lands:  python tools/make_goldens.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np  # noqa: E402
+
+
+def region_means(img: np.ndarray, ny: int = 4, nx: int = 6) -> list:
+    h, w = img.shape[:2]
+    out = []
+    for i in range(ny):
+        for j in range(nx):
+            block = img[i * h // ny:(i + 1) * h // ny,
+                        j * w // nx:(j + 1) * w // nx]
+            out.append(round(float(block.mean()), 6))
+    return out
+
+
+def build_configs():
+    """The five benchmark configs from BASELINE.json, at test resolution."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
+                                                         demo_camera)
+    from godot_atmosphere_shader_tpu.models.scene import Node3D, PlanetAtmosphere
+    from godot_atmosphere_shader_tpu.ops.optical_depth import bake_optical_depth
+
+    h, w = 96, 144
+    out = {}
+
+    def render(scene, pose, hw=(h, w)):
+        cam = demo_camera(pose)
+        scene.update(0.0, cam)
+        return np.asarray(scene.render(cam, hw[0], hw[1])["color"])
+
+    # 1. v1 fake-color, no clouds, exterior view
+    out["v1_exterior"] = render(build_demo_scene("v1_no_clouds"), "exterior")
+
+    # 2. scattering no-clouds + the LUT bake itself
+    out["v2_exterior"] = render(build_demo_scene("no_clouds"), "exterior")
+    lut = np.asarray(bake_optical_depth(100.0, 8.0, 0.5))
+    out["lut"] = lut[..., None]
+
+    # 3. scattering + clouds (procedural coverage), space view
+    out["clouds_space"] = render(build_demo_scene("clouds"), "space")
+
+    # 4. clouds_high, interior camera (depth composition, reverse-Z)
+    out["clouds_high_interior"] = render(build_demo_scene("clouds_high"),
+                                         "interior")
+
+    # 5. clouds_high_rm + multi-planet with far LOD
+    scene5 = build_demo_scene("clouds_high_rm")
+    sun = scene5.atmospheres[0].sun
+    moon_atmo = PlanetAtmosphere(
+        planet_radius=10.0, atmosphere_height=2.0, sun=sun,
+        custom_shader="v1_no_clouds", position=(-188.991, 0.0, 192.584))
+    scene5.atmospheres.append(moon_atmo)
+    out["rm_multiplanet_space"] = render(scene5, "space")
+
+    return out
+
+
+def main() -> None:
+    renders = build_configs()
+    doc = {}
+    for name, img in renders.items():
+        doc[name] = {
+            "shape": list(img.shape),
+            "mean": round(float(img.mean()), 6),
+            "std": round(float(img.std()), 6),
+            "max": round(float(img.max()), 6),
+            "regions": region_means(img.mean(axis=-1) if img.ndim == 3 else img),
+        }
+    path = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens.json")
+    with open(os.path.abspath(path), "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"wrote {path}: {list(doc)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,36 @@ class AtmosphereParams:
     cloud_shape_texture: Optional[jnp.ndarray] = None  # (D, H, W) repeat-wrapped
     cloud_coverage_cubemap: Optional[jnp.ndarray] = None  # (6, res, res)
 
+    # packed per-frame dynamics: (24,) = sun_position(3) ‖ world_to_model(16)
+    # ‖ coverage_rotation(4) ‖ time(1).  When present it overrides those four
+    # fields inside jit — one host→device upload per frame instead of four
+    # (each separate upload costs a tunnel round-trip on axon-style setups).
+    frame_state: Optional[jnp.ndarray] = None
+
+    def resolve_frame_state(self) -> "AtmosphereParams":
+        """Unpack ``frame_state`` into the individual fields (traced)."""
+        if self.frame_state is None:
+            return self
+        fs = self.frame_state
+        return dataclasses.replace(
+            self,
+            sun_position=fs[0:3],
+            world_to_model=fs[3:19].reshape(4, 4),
+            cloud_coverage_rotation=fs[19:23].reshape(2, 2),
+            time=fs[23],
+            frame_state=None,
+        )
+
+    @staticmethod
+    def pack_frame_state(sun_position, world_to_model, coverage_rotation,
+                         time_s) -> np.ndarray:
+        out = np.empty(24, np.float32)
+        out[0:3] = np.asarray(sun_position, np.float32)
+        out[3:19] = np.asarray(world_to_model, np.float32).reshape(-1)
+        out[19:23] = np.asarray(coverage_rotation, np.float32).reshape(-1)
+        out[23] = time_s
+        return out
+
     @staticmethod
     def create(planet_radius=1.0, atmosphere_height=0.1,
                sun_position=(5000.0, 0.0, 0.0), density=0.2,

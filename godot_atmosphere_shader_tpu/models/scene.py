@@ -108,6 +108,7 @@ class PlanetAtmosphere(Node3D):
         super().__init__(position=position, transform=transform, name=name)
         self._params = AtmosphereParams.create(
             planet_radius=planet_radius, atmosphere_height=atmosphere_height)
+        self._sun_position_host = np.array([5000.0, 0.0, 0.0], np.float32)
         self._config = VARIANTS[DEFAULT_VARIANT]
         self._uses_baked_optical_depth = False
         self._lut_cache = OpticalDepthCache()
@@ -169,6 +170,8 @@ class PlanetAtmosphere(Node3D):
         field = _UNIFORM_TO_FIELD.get(param_name)
         if field is None:
             raise KeyError(f"unknown shader parameter {param_name!r}")
+        if param_name == "u_sun_position":
+            self._sun_position_host = np.asarray(value, np.float32)
         if param_name in _COLOR_PARAMS:
             value = srgb_to_linear(np.asarray(value, np.float32)[:3])
         elif field in ("cloud_shape_texture", "cloud_coverage_cubemap",
@@ -190,6 +193,17 @@ class PlanetAtmosphere(Node3D):
         field = _UNIFORM_TO_FIELD.get(param_name)
         if field is None:
             raise KeyError(f"unknown shader parameter {param_name!r}")
+        fs = self._params.frame_state
+        if fs is not None:
+            # the four per-frame dynamics live packed after update()
+            if field == "sun_position":
+                return fs[0:3]
+            if field == "world_to_model":
+                return fs[3:19].reshape(4, 4)
+            if field == "cloud_coverage_rotation":
+                return fs[19:23].reshape(2, 2)
+            if field == "time":
+                return fs[23]
         return getattr(self._params, field)
 
     def get_shader_param(self, param_name: str):
@@ -216,8 +230,14 @@ class PlanetAtmosphere(Node3D):
     # -- per-frame update (planet_atmosphere.gd:285-341) ----------------------
 
     def update(self, time_s: float, camera: Optional[Camera] = None,
-               cam_near: float = 0.1):
-        if camera is not None:
+               cam_near: float = 0.1, cam_pos=None):
+        """Per-frame uniform refresh.  Host-side numpy only — a device
+        readback here costs a full tunnel round-trip per frame on axon
+        setups, which dwarfs the actual render time.  ``cam_pos`` lets the
+        Scene fetch the camera transform once for all atmospheres."""
+        if cam_pos is not None:
+            cam_pos = np.asarray(cam_pos)
+        elif camera is not None:
             cam_pos = np.asarray(camera.view_to_world)[:3, 3]
             cam_near = float(camera.near)
         else:
@@ -233,18 +253,25 @@ class PlanetAtmosphere(Node3D):
         is_near = d < self.atmo_clip_distance
         self.mode = MODE_NEAR if (is_near or self.force_fullscreen) else MODE_FAR
 
-        updates = {}
         if self.sun is not None:
-            updates["sun_position"] = jnp.asarray(self.sun.position, jnp.float32)
-        updates["world_to_model"] = jnp.asarray(
-            np.asarray(rigid_inverse(jnp.asarray(self.transform))), jnp.float32)
+            sun_pos = np.asarray(self.sun.position, np.float32)
+            self._sun_position_host = sun_pos
+        else:
+            sun_pos = self._sun_position_host
+        # rigid inverse in numpy (self.transform is host-side)
+        r = self.transform[:3, :3]
+        t = self.transform[:3, 3]
+        w2m = np.eye(4, dtype=np.float32)
+        w2m[:3, :3] = r.T
+        w2m[:3, 3] = -r.T @ t
         angle = time_s * math.radians(self.clouds_rotation_speed)
         c, s = math.cos(angle), math.sin(angle)
         # Transform2D().rotated(a) acts as [[c, -s], [s, c]] on xz (:338-341)
-        updates["cloud_coverage_rotation"] = jnp.asarray(
-            [[c, -s], [s, c]], jnp.float32)
-        updates["time"] = jnp.float32(time_s)
-        self._params = dataclasses.replace(self._params, **updates)
+        rot = np.array([[c, -s], [s, c]], np.float32)
+        # one packed upload per frame instead of four separate transfers
+        fs = AtmosphereParams.pack_frame_state(sun_pos, w2m, rot, time_s)
+        self._params = dataclasses.replace(
+            self._params, frame_state=jnp.asarray(fs))
 
     # -- param building -------------------------------------------------------
 
@@ -268,15 +295,28 @@ class Scene:
     def __init__(self, atmospheres=(), opaque: Optional[OpaqueScene] = None):
         self.atmospheres = list(atmospheres)
         self.opaque = opaque
+        self._cam_pos_cache = {}
+
+    def _cam_info(self, camera: Camera):
+        """One device→host fetch per distinct camera object (a fetch per
+        frame per atmosphere would serialize on tunnel round-trips)."""
+        key = id(camera.view_to_world)
+        info = self._cam_pos_cache.get(key)
+        if info is None:
+            info = (np.asarray(camera.view_to_world)[:3, 3],
+                    float(camera.near))
+            self._cam_pos_cache = {key: info}
+        return info
 
     def update(self, time_s: float, camera: Camera):
+        cam_pos, cam_near = self._cam_info(camera)
         for atmo in self.atmospheres:
-            atmo.update(time_s, camera)
+            atmo.update(time_s, camera, cam_pos=cam_pos, cam_near=cam_near)
 
     def render(self, camera: Camera, height: int, width: int):
         """Sort atmospheres far→near (Godot's transparent-pass sorting) and
         render one frame."""
-        cam_pos = np.asarray(camera.view_to_world)[:3, 3]
+        cam_pos, _ = self._cam_info(camera)
         order = sorted(self.atmospheres,
                        key=lambda a: -float(np.linalg.norm(a.position - cam_pos)))
         params = tuple(a.build_params() for a in order)

@@ -164,17 +164,11 @@ def get_light(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, jitter, alpha, time,
     return light * lerp(1.0, 0.002, shadow)
 
 
-def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
-                   sun_dir: Vec3, time, settings: CloudSettings, params,
-                   shape_fn, coverage_fn, steps: int,
-                   raymarched_lighting: bool, always_low: bool,
-                   coverage_interp: bool = False):
-    """``raymarch_cloud`` (:175-247).  Returns ``(total_light, alpha)``.
-
-    Includes the march-distance horizon hack (:181-204): marching distance is
-    clamped between a "space" and a "ground" budget blended by camera height,
-    which keeps the horizon from peering through the layer from orbit.
-    """
+def clamp_march_distance(ray_origin: Vec3, t_begin, t_end,
+                         settings: CloudSettings):
+    """March-distance horizon hack (:181-204): clamp the marched span between
+    a "space" and a "ground" budget blended by camera height, so the horizon
+    doesn't peer through the layer from orbit.  Idempotent."""
     march_distance_space = 0.5 * jnp.sqrt(jnp.maximum(
         1.0 - pow2(settings.ground_height / settings.top_height), 0.0)
     ) * settings.bottom_height
@@ -185,14 +179,30 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
         smoothstep(settings.bottom_height, settings.top_height * 1.05,
                    length(ray_origin)),
     )
-    t_end = t_begin + jnp.minimum(t_end - t_begin, max_d)
+    return t_begin + jnp.minimum(t_end - t_begin, max_d)
+
+
+def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
+                   sun_dir: Vec3, time, settings: CloudSettings, params,
+                   shape_fn, coverage_fn, steps: int,
+                   raymarched_lighting: bool, always_low: bool,
+                   coverage_interp: bool = False, coverage_endpoints=None):
+    """``raymarch_cloud`` (:175-247).  Returns ``(total_light, alpha)``.
+
+    Includes the march-distance horizon hack (:181-204): marching distance is
+    clamped between a "space" and a "ground" budget blended by camera height,
+    which keeps the horizon from peering through the layer from orbit.
+    """
+    t_end = clamp_march_distance(ray_origin, t_begin, t_end, settings)
 
     step_len = (t_end - t_begin) * (1.0 / float(steps))
 
-    total_transmittance = jnp.ones_like(t_begin)
-    total_light = jnp.zeros_like(t_begin)
-    alpha = jnp.zeros_like(t_begin)
-    pos = ray_origin + ray_dir * (jitter * step_len) + ray_dir * t_begin
+    # carry-minimized march: position is affine in the step index (recomputed
+    # from the start instead of carried — 3 fewer loop-carried planes, which
+    # is real HBM traffic in the XLA while-loop), and alpha is derived from
+    # the unclamped transmittance product (alpha = 1 − ∏tᵢ, exactly the
+    # reference's incremental alpha accumulation at :228)
+    start = ray_origin + ray_dir * (jitter * step_len) + ray_dir * t_begin
 
     if coverage_interp:
         # Fast-path quality/perf trade in the spirit of the reference's own
@@ -200,19 +210,26 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
         # (a 256²-cubemap analog) and the marched segment is short, so sample
         # the raw coverage at the segment endpoints and lerp per step instead
         # of evaluating the (expensive, domain-warped) field 64×/pixel.
-        cov0 = raw_coverage(pos, params, coverage_fn)
-        cov1 = raw_coverage(ray_origin + ray_dir * t_end, params, coverage_fn)
+        if coverage_endpoints is not None:
+            cov0, cov1 = coverage_endpoints
+        else:
+            cov0 = raw_coverage(ray_origin + ray_dir * t_begin, params,
+                                coverage_fn)
+            cov1 = raw_coverage(ray_origin + ray_dir * t_end, params,
+                                coverage_fn)
         inv_steps_f = 1.0 / float(steps)
 
     def body(i, carry):
-        pos_x, pos_y, pos_z, total_transmittance, total_light, alpha = carry
-        pos = Vec3(pos_x, pos_y, pos_z)
+        prod, total_transmittance, total_light = carry
+        fi = i.astype(jnp.float32)
+        pos = start + ray_dir * (fi * step_len)
+        alpha = 1.0 - prod
         light = get_light(pos, ray_dir, sun_dir, jitter, alpha, time,
                           settings, params, shape_fn, coverage_fn,
                           raymarched_lighting, always_low)
         coverage_value = None
         if coverage_interp:
-            frac = (i.astype(jnp.float32) + 0.5) * inv_steps_f
+            frac = (fi + 0.5) * inv_steps_f
             coverage_value = cov0 + (cov1 - cov0) * frac
         density = get_density_full(pos, time, settings, params,
                                    shape_fn, coverage_fn, False, always_low,
@@ -222,18 +239,17 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
         transmittance = jnp.exp(-density * step_len)
         total_transmittance = jnp.maximum(total_transmittance * transmittance, 0.005)
         total_light = total_light + light * density * step_len * total_transmittance
-        alpha = alpha + (1.0 - transmittance) * (1.0 - alpha)
-        pos = pos + ray_dir * step_len
-        return pos.x, pos.y, pos.z, total_transmittance, total_light, alpha
+        prod = prod * transmittance
+        return prod, total_transmittance, total_light
 
     # lax.fori_loop keeps trace/compile time flat in the step count; the body
     # is large enough (noise recompute) that cross-step fusion isn't the win.
     import jax.lax as lax
 
-    carry = (pos.x, pos.y, pos.z, total_transmittance, total_light, alpha)
-    carry = lax.fori_loop(0, steps, body, carry)
-    _, _, _, _, total_light, alpha = carry
-    return total_light, alpha
+    ones = jnp.ones_like(t_begin)
+    prod, _, total_light = lax.fori_loop(
+        0, steps, body, (ones, ones, jnp.zeros_like(t_begin)))
+    return total_light, 1.0 - prod
 
 
 def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
@@ -284,12 +300,30 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
 
     # masked lanes march a degenerate [t_begin, t_begin] interval
     t_end_m = jnp.where(visible, t_end, t_begin)
+    t_end_m = clamp_march_distance(ro_model, t_begin, t_end_m, settings)
+
+    coverage_endpoints = None
+    cull_mask = visible
+    if coverage_interp:
+        cov0 = raw_coverage(ro_model + rd_model * t_begin, params, coverage_fn)
+        cov1 = raw_coverage(ro_model + rd_model * t_end_m, params, coverage_fn)
+        coverage_endpoints = (cov0, cov1)
+        if cull:
+            # conservative per-pixel density bound: with shape ≤ 1, detail
+            # fixed at 0.5 in low mode and height_curve ≤ 1, density can only
+            # be nonzero where the (lerped) coverage clears this threshold —
+            # tiles of cloud-free sky then skip the march entirely
+            detail_term = 0.1 if always_low else 0.0
+            cov_max = jnp.maximum(cov0, cov1) + params.cloud_coverage_bias
+            max_density = (1.0 - detail_term + lerp(-1.2, 1.5, cov_max)) * 50.0 - 20.0
+            cull_mask = jnp.logical_and(visible, max_density > 0.0)
 
     def march():
         light, a = raymarch_cloud(
             ro_model, rd_model, t_begin, t_end_m, jitter, sd_model, time,
             settings, params, shape_fn, coverage_fn, steps,
-            raymarched_lighting, always_low, coverage_interp=coverage_interp)
+            raymarched_lighting, always_low, coverage_interp=coverage_interp,
+            coverage_endpoints=coverage_endpoints)
         return light, a
 
     if cull:
@@ -299,7 +333,7 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
 
         zero = jnp.zeros_like(t_begin)
         cloud_light, cloud_alpha = lax.cond(
-            jnp.any(visible), march, lambda: (zero, zero))
+            jnp.any(cull_mask), march, lambda: (zero, zero))
     else:
         cloud_light, cloud_alpha = march()
 

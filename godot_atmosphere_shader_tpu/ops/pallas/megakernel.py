@@ -331,6 +331,7 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
     and procedural cloud fields (the gather-free fast path).
     """
     _check_config(config)
+    params = params.resolve_frame_state()
     bh, bw = block
     if 256 % min(bh, 256) or 256 % min(bw, 256):
         raise ValueError("block dims must divide 256 (blue-noise tiling)")

@@ -52,6 +52,7 @@ def _shade_slice(atmospheres, configs, camera, opaque,
 
     color = bg
     for params, config in zip(atmospheres, configs):
+        params = params.resolve_frame_state()
         rgb, alpha, mask = atmosphere_pass(
             params, config, camera, h, w,
             jitter=jitter, ray_dir=ray_dir, linear_depth=linear_depth)

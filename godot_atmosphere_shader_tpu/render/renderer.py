@@ -43,6 +43,7 @@ def render_frame_impl(atmospheres: Sequence[AtmosphereParams],
     color = bg
     alpha_out = jnp.zeros((height, width), jnp.float32)
     for params, config in zip(atmospheres, configs):
+        params = params.resolve_frame_state()
         rgb, alpha, mask = atmosphere_pass(
             params, config, camera, height, width,
             jitter=jitter, linear_depth=linear_depth)

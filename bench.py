@@ -20,7 +20,7 @@ sys.path.insert(0, ".")
 
 HEIGHT, WIDTH = 1080, 1920
 BASELINE_MRAYS = 120.0
-FRAMES = 32
+FRAMES = 64
 
 
 def _time_frames(render_fn, scene, cam) -> float:

@@ -57,6 +57,32 @@ def cmd_export_cubemap(args) -> None:
     print(f"wrote {args.output} (3x2 atlas, {args.resolution}px faces) + {sidecar}")
 
 
+def cmd_fly(args) -> None:
+    """Render a camera flight path through the demo scene (avatar analog)."""
+    from .models.demo import build_demo_scene
+    from .utils.color import linear_to_srgb
+    from .utils.flight import approach_path, orbit_path
+    from .utils.image_io import to_uint8, write_png
+
+    scene = build_demo_scene(variant=args.variant, procedural=True)
+    if args.path == "orbit":
+        cams = orbit_path(radius=300.0, height=80.0, frames=args.frames)
+    else:
+        cams = approach_path((0.0, 40.0, 420.0), (0.0, 104.5, 30.0),
+                             frames=args.frames)
+    import time as _time
+
+    t0 = _time.perf_counter()
+    for i, cam in enumerate(cams):
+        scene.update(i / 60.0, cam)
+        out = scene.render(cam, args.size, args.size)
+        img = np.asarray(linear_to_srgb(np.clip(np.asarray(out["color"]), 0, 1)))
+        write_png(f"{args.output_prefix}{i:04d}.png", to_uint8(img))
+    dt = _time.perf_counter() - t0
+    print(f"rendered {args.frames} frames to {args.output_prefix}NNNN.png "
+          f"in {dt:.1f}s")
+
+
 def cmd_benchmark(args) -> None:
     import subprocess
 
@@ -95,6 +121,14 @@ def main(argv=None) -> int:
     e.add_argument("--resolution", type=int, default=256)
     e.add_argument("-o", "--output", default="noise_cubemap.png")
     e.set_defaults(fn=cmd_export_cubemap)
+
+    f = sub.add_parser("fly", help="render a camera flight path (demo avatar)")
+    f.add_argument("--variant", default="clouds")
+    f.add_argument("--path", default="approach", choices=["orbit", "approach"])
+    f.add_argument("--frames", type=int, default=8)
+    f.add_argument("--size", type=int, default=256)
+    f.add_argument("-o", "--output-prefix", default="flight_")
+    f.set_defaults(fn=cmd_fly)
 
     k = sub.add_parser("benchmark", help="run bench.py")
     k.set_defaults(fn=cmd_benchmark)

@@ -55,16 +55,20 @@ def raw_coverage(pos: Vec3, params, coverage_fn: Callable):
 
 def get_density_full(pos: Vec3, time, settings: CloudSettings, params,
                      shape_fn: Callable, coverage_fn: Callable,
-                     low: bool, always_low: bool, coverage_value=None):
+                     low: bool, always_low: bool, coverage_value=None,
+                     pos_len=None):
     """``get_density_full`` (:31-68).  ``pos`` is in planet model space.
 
     ``coverage_value`` lets the marcher supply a precomputed raw coverage
-    (the ray-interpolation fast path) instead of sampling the field here.
+    (the ray-interpolation fast path) instead of sampling the field here;
+    ``pos_len`` a precomputed ``length(pos)`` (shared with the lighting).
     """
     if always_low:  # CLOUDS_ALWAYS_LOW_QUALITY (planet_atmosphere_main.gdshaderinc:49)
         low = True
 
-    h = length(pos) - settings.bottom_height
+    if pos_len is None:
+        pos_len = length(pos)
+    h = pos_len - settings.bottom_height
     height_ratio = h / (settings.top_height - settings.bottom_height)
     hc = jnp.maximum(height_curve(height_ratio), 0.0)
 
@@ -88,15 +92,21 @@ def get_density_full(pos: Vec3, time, settings: CloudSettings, params,
     return saturate(density)
 
 
-def get_planet_shadow(pos: Vec3, sun_dir: Vec3):
+def get_planet_shadow(pos: Vec3, sun_dir: Vec3, pos_len=None):
     """Night-side dimming (:78-90); only direction matters."""
-    return smoothstep(-0.3, 0.3, dot(normalize(pos), -sun_dir))
+    if pos_len is None:
+        pos_len = length(pos)
+    inv = 1.0 / pos_len
+    d = -(pos.x * sun_dir.x + pos.y * sun_dir.y + pos.z * sun_dir.z) * inv
+    return smoothstep(-0.3, 0.3, d)
 
 
 def get_light_cheap(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, alpha,
-                    settings: CloudSettings):
+                    settings: CloudSettings, pos_len=None):
     """(:92-102) — height-ratio ambient + a pow16 sun glow through thin cloud."""
-    h = length(pos) - settings.bottom_height
+    if pos_len is None:
+        pos_len = length(pos)
+    h = pos_len - settings.bottom_height
     height_ratio = h / (settings.top_height - settings.bottom_height)
     dp = dot(ray_dir, sun_dir)
     dp2 = dp * dp
@@ -152,15 +162,16 @@ def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
 
 def get_light(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, jitter, alpha, time,
               settings: CloudSettings, params, shape_fn, coverage_fn,
-              raymarched: bool, always_low: bool):
+              raymarched: bool, always_low: bool, pos_len=None):
     """(:153-167): lighting model dispatch + planet shadow ×0.002."""
     if raymarched:
         light = get_light_raymarched(pos, sun_dir, jitter, alpha, time,
                                      settings, params, shape_fn, coverage_fn,
                                      always_low)
     else:
-        light = get_light_cheap(pos, ray_dir, sun_dir, alpha, settings)
-    shadow = get_planet_shadow(pos, sun_dir)
+        light = get_light_cheap(pos, ray_dir, sun_dir, alpha, settings,
+                                pos_len=pos_len)
+    shadow = get_planet_shadow(pos, sun_dir, pos_len=pos_len)
     return light * lerp(1.0, 0.002, shadow)
 
 
@@ -223,17 +234,19 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
         prod, total_transmittance, total_light = carry
         fi = i.astype(jnp.float32)
         pos = start + ray_dir * (fi * step_len)
+        pos_len = length(pos)  # shared by lighting, shadow and density
         alpha = 1.0 - prod
         light = get_light(pos, ray_dir, sun_dir, jitter, alpha, time,
                           settings, params, shape_fn, coverage_fn,
-                          raymarched_lighting, always_low)
+                          raymarched_lighting, always_low, pos_len=pos_len)
         coverage_value = None
         if coverage_interp:
             frac = (fi + 0.5) * inv_steps_f
             coverage_value = cov0 + (cov1 - cov0) * frac
         density = get_density_full(pos, time, settings, params,
                                    shape_fn, coverage_fn, False, always_low,
-                                   coverage_value=coverage_value)
+                                   coverage_value=coverage_value,
+                                   pos_len=pos_len)
         density = density * settings.density_scale
 
         transmittance = jnp.exp(-density * step_len)

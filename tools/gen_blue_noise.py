@@ -45,10 +45,26 @@ def generate_blue_noise(size: int = 256, sigma: float = 1.9, seed: int = 7) -> n
 
 
 def main() -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--sigma", type=float, default=1.9)
+    parser.add_argument("--seed", type=int, default=7)
+    args = parser.parse_args()
+
     out_dir = os.path.join(os.path.dirname(__file__), "..",
                            "godot_atmosphere_shader_tpu", "assets")
-    out = os.path.abspath(os.path.join(out_dir, "blue_noise_256.npy"))
-    noise = generate_blue_noise()
+    out = os.path.abspath(os.path.join(out_dir, f"blue_noise_{args.size}.npy"))
+
+    # prefer the native generator (csrc/blue_noise.cpp, builds on demand)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from godot_atmosphere_shader_tpu.utils.native import generate_blue_noise_native
+
+    noise = generate_blue_noise_native(args.size, args.sigma, args.seed)
+    if noise is None:
+        print("native generator unavailable; using the Python fallback")
+        noise = generate_blue_noise(args.size, args.sigma, args.seed)
     np.save(out, noise)
     # quick spectrum sanity check: blue noise has a low-frequency deficit
     f = np.abs(np.fft.fft2(noise - noise.mean()))

@@ -59,7 +59,7 @@ def main() -> None:
         dt_pallas = _time_frames(
             lambda: render_frame_pallas(atmo.build_params(), atmo.config, cam,
                                         scene.opaque, HEIGHT, WIDTH,
-                                        block=(64, 256)),
+                                        block=(32, 128)),
             scene, cam)
     except Exception:
         dt_pallas = float("inf")

@@ -130,6 +130,9 @@ def _build_layout(n_spheres: int, n_boxes: int) -> _Layout:
 
 
 def _pack(layout: _Layout, values: dict) -> jnp.ndarray:
+    """Concatenate the fields into the SMEM block.  Must run inside jit:
+    eager packing would dispatch ~40 tiny device ops per frame, which costs
+    more than the whole kernel on tunneled TPU setups."""
     parts = []
     for name, (off, shape) in layout.fields.items():
         v = jnp.asarray(values[name], jnp.float32).reshape(-1)
@@ -284,14 +287,61 @@ def _check_config(config: VariantConfig):
                          "(cloud_shape_noise / cloud_coverage_noise)")
 
 
+def _build_values(params: AtmosphereParams, camera: Camera,
+                  opaque: Optional[OpaqueScene], n_spheres: int,
+                  n_boxes: int) -> dict:
+    """Field dict for the SMEM pack — traced (runs inside jit; see _pack)."""
+    params = params.resolve_frame_state()
+    model_to_world = rigid_inverse(params.world_to_model)
+    values = {
+        "cam_pos": camera.view_to_world[:3, 3],
+        "cam_rot": camera.view_to_world[:3, :3],
+        "world_to_view": camera.world_to_view,
+        "near": camera.near,
+        "far": camera.far,
+        "inv_fy": jnp.tan(camera.fov_y_rad * 0.5),
+        "planet_center": model_to_world[:3, 3],
+    }
+    for name in ("sun_position", "planet_radius", "atmosphere_height",
+                 "density", "sphere_depth_factor", "scattering_strength",
+                 "scattering_wavelengths", "atmosphere_modulate",
+                 "atmosphere_ambient_color", "day_color0", "day_color1",
+                 "night_color0", "night_color1", "day_night_transition_scale",
+                 "cloud_density_scale", "cloud_bottom", "cloud_top",
+                 "cloud_blend", "cloud_shape_invert", "cloud_coverage_bias",
+                 "cloud_shape_factor", "cloud_shape_scale",
+                 "cloud_coverage_rotation", "world_to_model", "time"):
+        values[name] = getattr(params, name)
+    if opaque is not None:
+        if n_spheres:
+            values["sphere_centers"] = opaque.sphere_centers
+            values["sphere_radii"] = opaque.sphere_radii
+            values["sphere_albedos"] = opaque.sphere_albedos
+            values["sphere_unshaded"] = opaque.sphere_unshaded
+        if n_boxes:
+            values["box_world_to_box"] = opaque.box_world_to_box
+            values["box_half_sizes"] = opaque.box_half_sizes
+            values["box_albedos"] = opaque.box_albedos
+        values["light_dir"] = opaque.light_dir
+        values["ambient"] = opaque.ambient
+        values["sky_color"] = opaque.sky_color
+    else:
+        values["light_dir"] = jnp.zeros(3, jnp.float32)
+        values["ambient"] = jnp.float32(0.0)
+        values["sky_color"] = jnp.zeros(3, jnp.float32)
+    return values
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("config", "height", "width", "block", "with_opaque",
                      "n_spheres", "n_boxes", "interpret"))
-def _render_pallas_jit(scalars, config, height, width, block, with_opaque,
-                       n_spheres, n_boxes, interpret=False):
+def _render_pallas_jit(params, camera, opaque, config, height, width, block,
+                       with_opaque, n_spheres, n_boxes, interpret=False):
     bh, bw = block
     layout = _build_layout(n_spheres, n_boxes)
+    values = _build_values(params, camera, opaque, n_spheres, n_boxes)
+    scalars = _pack(layout, values)
     kernel = _make_kernel(config, layout, n_spheres, n_boxes, height, width,
                           bh, bw, with_opaque)
     blue = jnp.asarray(blue_noise_256())
@@ -331,57 +381,14 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
     and procedural cloud fields (the gather-free fast path).
     """
     _check_config(config)
-    params = params.resolve_frame_state()
     bh, bw = block
     if 256 % min(bh, 256) or 256 % min(bw, 256):
         raise ValueError("block dims must divide 256 (blue-noise tiling)")
 
     n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
-    layout = _build_layout(n_spheres, n_boxes)
 
-    model_to_world = rigid_inverse(params.world_to_model)
-    inv_fy = jnp.tan(camera.fov_y_rad * 0.5)
-
-    values = {
-        "cam_pos": camera.view_to_world[:3, 3],
-        "cam_rot": camera.view_to_world[:3, :3],
-        "world_to_view": camera.world_to_view,
-        "near": camera.near,
-        "far": camera.far,
-        "inv_fy": inv_fy,
-        "planet_center": model_to_world[:3, 3],
-    }
-    for name in ("sun_position", "planet_radius", "atmosphere_height",
-                 "density", "sphere_depth_factor", "scattering_strength",
-                 "scattering_wavelengths", "atmosphere_modulate",
-                 "atmosphere_ambient_color", "day_color0", "day_color1",
-                 "night_color0", "night_color1", "day_night_transition_scale",
-                 "cloud_density_scale", "cloud_bottom", "cloud_top",
-                 "cloud_blend", "cloud_shape_invert", "cloud_coverage_bias",
-                 "cloud_shape_factor", "cloud_shape_scale",
-                 "cloud_coverage_rotation", "world_to_model", "time"):
-        values[name] = getattr(params, name)
-    if opaque is not None:
-        if n_spheres:
-            values["sphere_centers"] = opaque.sphere_centers
-            values["sphere_radii"] = opaque.sphere_radii
-            values["sphere_albedos"] = opaque.sphere_albedos
-            values["sphere_unshaded"] = opaque.sphere_unshaded
-        if n_boxes:
-            values["box_world_to_box"] = opaque.box_world_to_box
-            values["box_half_sizes"] = opaque.box_half_sizes
-            values["box_albedos"] = opaque.box_albedos
-        values["light_dir"] = opaque.light_dir
-        values["ambient"] = opaque.ambient
-        values["sky_color"] = opaque.sky_color
-    else:
-        values["light_dir"] = jnp.zeros(3, jnp.float32)
-        values["ambient"] = jnp.float32(0.0)
-        values["sky_color"] = jnp.zeros(3, jnp.float32)
-
-    scalars = _pack(layout, values)
     r, g, b, a = _render_pallas_jit(
-        scalars, config, height, width, (bh, bw), opaque is not None,
-        n_spheres, n_boxes, interpret=interpret)
+        params, camera, opaque, config, height, width, (bh, bw),
+        opaque is not None, n_spheres, n_boxes, interpret=interpret)
     return {"color": jnp.stack([r, g, b], axis=-1), "alpha": a}

@@ -52,7 +52,8 @@ def main() -> None:
     cam = demo_camera("avatar")
     scene.update(0.0, cam)
 
-    dt_xla = _time_frames(lambda: scene.render(cam, HEIGHT, WIDTH), scene, cam)
+    dt_xla = _time_frames(lambda: scene.render(cam, HEIGHT, WIDTH,
+                                               renderer="xla"), scene, cam)
 
     atmo = scene.atmospheres[0]
     try:

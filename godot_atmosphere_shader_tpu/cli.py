@@ -83,6 +83,38 @@ def cmd_fly(args) -> None:
           f"in {dt:.1f}s")
 
 
+def cmd_fit(args) -> None:
+    """Inverse rendering: recover atmosphere params from a target frame."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from .models.demo import build_demo_scene, demo_camera
+    from .models.inverse import fit
+    from .render.renderer import render_frame
+
+    # ground-truth scene with perturbed parameters as the "unknown"
+    scene = build_demo_scene(variant=args.variant, procedural=True)
+    cam = demo_camera(args.pose)
+    scene.update(0.0, cam)
+    atmo = scene.atmospheres[0]
+    true_params = atmo.build_params().resolve_frame_state()
+    target = render_frame((true_params,), (atmo.config,), cam, scene.opaque,
+                          args.size, args.size)["color"]
+
+    # start from the shader defaults and descend
+    start = dataclasses.replace(
+        true_params,
+        density=jnp.float32(0.2), scattering_strength=jnp.float32(0.5))
+    fitted, losses = fit(start, atmo.config, cam, scene.opaque, target,
+                         args.size, args.size, steps=args.steps, lr=args.lr)
+    print(f"loss {losses[0]:.6f} -> {losses[-1]:.6f} over {args.steps} steps")
+    print(f"density: true {float(true_params.density):.4f} "
+          f"start 0.2000 fitted {float(fitted.density):.4f}")
+    print(f"scattering_strength: true {float(true_params.scattering_strength):.4f} "
+          f"start 0.5000 fitted {float(fitted.scattering_strength):.4f}")
+
+
 def cmd_benchmark(args) -> None:
     import subprocess
 
@@ -129,6 +161,14 @@ def main(argv=None) -> int:
     f.add_argument("--size", type=int, default=256)
     f.add_argument("-o", "--output-prefix", default="flight_")
     f.set_defaults(fn=cmd_fly)
+
+    t = sub.add_parser("fit", help="inverse rendering: fit params to a target")
+    t.add_argument("--variant", default="no_clouds")
+    t.add_argument("--pose", default="exterior")
+    t.add_argument("--size", type=int, default=128)
+    t.add_argument("--steps", type=int, default=60)
+    t.add_argument("--lr", type=float, default=0.05)
+    t.set_defaults(fn=cmd_fit)
 
     k = sub.add_parser("benchmark", help="run bench.py")
     k.set_defaults(fn=cmd_benchmark)

@@ -313,12 +313,48 @@ class Scene:
         for atmo in self.atmospheres:
             atmo.update(time_s, camera, cam_pos=cam_pos, cam_near=cam_near)
 
-    def render(self, camera: Camera, height: int, width: int):
+    def render(self, camera: Camera, height: int, width: int,
+               renderer: str = "auto"):
         """Sort atmospheres far→near (Godot's transparent-pass sorting) and
-        render one frame."""
+        render one frame.
+
+        ``renderer``: ``"pallas"`` (fused megakernel — fastest),
+        ``"xla"`` (whole-frame fused jit), or ``"auto"`` which picks the
+        megakernel whenever the scene is eligible (single atmosphere,
+        analytic optical depth, procedural cloud fields).
+        """
         cam_pos, _ = self._cam_info(camera)
         order = sorted(self.atmospheres,
                        key=lambda a: -float(np.linalg.norm(a.position - cam_pos)))
         params = tuple(a.build_params() for a in order)
         configs = tuple(a.config for a in order)
+
+        if renderer != "xla":
+            import jax
+
+            eligible = (jax.default_backend() == "tpu" and len(order) >= 1
+                        and all(c.od_mode == "analytic"
+                                and (not c.clouds_enabled
+                                     or (c.cloud_shape_noise is not None
+                                         and c.cloud_coverage_noise is not None))
+                                for c in configs))
+            if eligible:
+                from ..ops.pallas.megakernel import render_frame_pallas
+
+                # one megakernel pass per atmosphere, chained far→near like
+                # Godot's transparent-pass sorting: the first pass fuses the
+                # opaque scene, later passes composite over the previous
+                # color using the carried linear depth
+                out = render_frame_pallas(params[0], configs[0], camera,
+                                          self.opaque, height, width,
+                                          block=(32, 128))
+                for p, c in zip(params[1:], configs[1:]):
+                    out = render_frame_pallas(
+                        p, c, camera, None, height, width, block=(32, 128),
+                        background=(out["color"], out["linear_depth"]))
+                return out
+            if renderer == "pallas":
+                raise ValueError(
+                    "pallas renderer needs analytic optical depth and "
+                    "procedural cloud fields (and a TPU backend)")
         return render_frame(params, configs, camera, self.opaque, height, width)

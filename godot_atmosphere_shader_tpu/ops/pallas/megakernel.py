@@ -169,10 +169,15 @@ class _Reader:
 
 def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
                  n_boxes: int, height: int, width: int, bh: int, bw: int,
-                 with_opaque: bool):
+                 with_opaque: bool, with_background: bool = False):
     aspect = width / height
 
-    def kernel(scal_ref, blue_ref, out_r, out_g, out_b, out_a):
+    def kernel(scal_ref, blue_ref, *refs):
+        if with_background:
+            bg_r_ref, bg_g_ref, bg_b_ref, bg_ld_ref = refs[:4]
+            out_r, out_g, out_b, out_a, out_ld = refs[4:]
+        else:
+            out_r, out_g, out_b, out_a, out_ld = refs
         s = _Reader(scal_ref, layout)
 
         # ---- per-pixel ray generation (view → world) ----
@@ -196,8 +201,13 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
         cp = s.vec("cam_pos")
         ray_origin = Vec3(cp[0], cp[1], cp[2])
 
-        # ---- opaque pass, fused ----
-        if with_opaque:
+        # ---- background: chained prior layer, fused opaque, or empty ----
+        if with_background:
+            # multi-planet chaining: composite over the previous megakernel
+            # pass's output; linear depth still comes from the opaque scene
+            bg = Vec3(bg_r_ref[:], bg_g_ref[:], bg_b_ref[:])
+            linear_depth = bg_ld_ref[:]
+        elif with_opaque:
             cam_view = SimpleNamespace(
                 position=ray_origin,
                 world_to_view=s.view("world_to_view"),
@@ -273,6 +283,7 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
         out_g[:] = bg.y * (1.0 - a) + rgb.y * a
         out_b[:] = bg.z * (1.0 - a) + rgb.z * a
         out_a[:] = a
+        out_ld[:] = linear_depth
 
     return kernel
 
@@ -337,48 +348,62 @@ def _build_values(params: AtmosphereParams, camera: Camera,
     static_argnames=("config", "height", "width", "block", "with_opaque",
                      "n_spheres", "n_boxes", "interpret"))
 def _render_pallas_jit(params, camera, opaque, config, height, width, block,
-                       with_opaque, n_spheres, n_boxes, interpret=False):
+                       with_opaque, n_spheres, n_boxes, interpret=False,
+                       background=None):
     bh, bw = block
     layout = _build_layout(n_spheres, n_boxes)
     values = _build_values(params, camera, opaque, n_spheres, n_boxes)
     scalars = _pack(layout, values)
+    with_background = background is not None
     kernel = _make_kernel(config, layout, n_spheres, n_boxes, height, width,
-                          bh, bw, with_opaque)
+                          bh, bw, with_opaque, with_background)
     blue = jnp.asarray(blue_noise_256())
     tb_y = max(256 // bh, 1)
     tb_x = max(256 // bw, 1)
 
     grid = (pl.cdiv(height, bh), pl.cdiv(width, bw))
-    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)] * 4
+    tile_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, layout.size), lambda i, j: (0, 0),
+                     memory_space=pltpu.SMEM),
+        # blue-noise tile: modular index map implements the screen-space
+        # 256-periodic tiling without any per-pixel gather
+        pl.BlockSpec((min(bh, 256), min(bw, 256)),
+                     lambda i, j: (i % tb_y, j % tb_x),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [scalars, blue]
+    if with_background:
+        in_specs += [tile_spec] * 4
+        bg_color, bg_ld = background
+        args += [bg_color[..., 0], bg_color[..., 1], bg_color[..., 2], bg_ld]
+    # outputs: r, g, b, alpha, linear_depth (depth passthrough for chaining)
+    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)] * 5
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, layout.size), lambda i, j: (0, 0),
-                         memory_space=pltpu.SMEM),
-            # blue-noise tile: modular index map implements the screen-space
-            # 256-periodic tiling without any per-pixel gather
-            pl.BlockSpec((min(bh, 256), min(bw, 256)),
-                         lambda i, j: (i % tb_y, j % tb_x),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec((bh, bw), lambda i, j: (i, j),
-                                memory_space=pltpu.VMEM)] * 4,
+        in_specs=in_specs,
+        out_specs=[tile_spec] * 5,
         out_shape=out_shape,
         interpret=interpret,
-    )(scalars, blue)
+    )(*args)
     return outs
 
 
 def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
                         camera: Camera, opaque: Optional[OpaqueScene],
                         height: int, width: int,
-                        block: Tuple[int, int] = (128, 256),
-                        interpret: bool = False) -> dict:
+                        block: Tuple[int, int] = (32, 128),
+                        interpret: bool = False,
+                        background=None) -> dict:
     """Render one frame with the fused megakernel.
 
-    Returns ``{"color": (H, W, 3), "alpha": (H, W)}``.  Requires analytic OD
-    and procedural cloud fields (the gather-free fast path).
+    Returns ``{"color": (H, W, 3), "alpha": (H, W), "linear_depth": (H, W)}``.
+    Requires analytic OD and procedural cloud fields (the gather-free fast
+    path).  ``background=(color (H, W, 3), linear_depth (H, W))`` composites
+    over a previous layer instead of the fused opaque pass — multi-planet
+    scenes chain one megakernel call per atmosphere, far→near.
     """
     _check_config(config)
     bh, bw = block
@@ -388,7 +413,9 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
     n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
 
-    r, g, b, a = _render_pallas_jit(
+    r, g, b, a, ld = _render_pallas_jit(
         params, camera, opaque, config, height, width, (bh, bw),
-        opaque is not None, n_spheres, n_boxes, interpret=interpret)
-    return {"color": jnp.stack([r, g, b], axis=-1), "alpha": a}
+        opaque is not None, n_spheres, n_boxes, interpret=interpret,
+        background=background)
+    return {"color": jnp.stack([r, g, b], axis=-1), "alpha": a,
+            "linear_depth": ld}

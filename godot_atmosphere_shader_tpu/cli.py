@@ -29,7 +29,9 @@ def cmd_render(args) -> None:
     cam = demo_camera(args.pose)
     scene.update(args.time, cam)
     t0 = time.perf_counter()
-    out = scene.render(cam, args.size, args.size if args.width is None else args.width)
+    out = scene.render(cam, args.size,
+                       args.size if args.width is None else args.width,
+                       renderer=args.renderer)
     img = np.asarray(out["color"])
     dt = time.perf_counter() - t0
     srgb = np.asarray(linear_to_srgb(np.clip(img, 0.0, 1.0)))
@@ -137,6 +139,8 @@ def main(argv=None) -> int:
     r.add_argument("--time", type=float, default=0.0)
     r.add_argument("--textures", action="store_true",
                    help="use baked textures instead of procedural fields")
+    r.add_argument("--renderer", default="auto",
+                   choices=["auto", "pallas", "xla"])
     r.add_argument("-o", "--output", default="frame.png")
     r.set_defaults(fn=cmd_render)
 

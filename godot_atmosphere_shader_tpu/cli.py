@@ -24,8 +24,16 @@ def cmd_render(args) -> None:
     from .utils.color import linear_to_srgb
     from .utils.image_io import to_uint8, write_png
 
-    scene = build_demo_scene(variant=args.variant,
-                             procedural=not args.textures)
+    if args.scene:
+        from .models.tscn import load_tscn
+
+        result = load_tscn(args.scene, procedural=not args.textures)
+        scene = result.scene
+        for note in result.skipped:
+            print(f"  (skipped: {note})")
+    else:
+        scene = build_demo_scene(variant=args.variant,
+                                 procedural=not args.textures)
     cam = demo_camera(args.pose)
     scene.update(args.time, cam)
     t0 = time.perf_counter()
@@ -141,6 +149,9 @@ def main(argv=None) -> int:
                    help="use baked textures instead of procedural fields")
     r.add_argument("--renderer", default="auto",
                    choices=["auto", "pallas", "xla"])
+    r.add_argument("--scene", default=None,
+                   help="import a Godot .tscn scene file instead of the "
+                        "built-in demo")
     r.add_argument("-o", "--output", default="frame.png")
     r.set_defaults(fn=cmd_render)
 

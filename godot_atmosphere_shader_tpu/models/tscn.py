@@ -1,0 +1,358 @@
+"""Godot ``.tscn`` scene importer: migrate reference scenes directly.
+
+Parses the text-scene subset the reference's scenes use —
+``PlanetAtmosphere`` instances with ``shader_params/*`` overrides,
+``FastNoiseLite``/``NoiseTexture3D``/``NoiseCubemap`` sub-resources, opaque
+``MeshInstance3D`` spheres/boxes and ``DirectionalLight3D`` — and builds the
+equivalent :class:`~..models.scene.Scene`.  A user of the reference can point
+this at their existing scene file (e.g.
+``addons/zylann.atmosphere/demo/planet_atmosphere_test.tscn``) and render it
+here unchanged.
+
+Only capability-relevant node/resource types are interpreted; everything else
+is ignored with a note in ``ImportResult.skipped``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops.noise import NoiseSpec
+from ..render.opaque import OpaqueScene
+from .params import ProceduralField, VariantConfig, VARIANTS
+from .scene import Node3D, PlanetAtmosphere, Scene
+
+# -- low-level text parsing ----------------------------------------------------
+
+_SECTION_RE = re.compile(r"^\[(\w+)(.*?)\]\s*$")
+_ATTR_RE = re.compile(r'(\w+)=("(?:[^"\\]|\\.)*"|[^\s\]]+)')
+
+
+def _parse_value(text: str):
+    """Parse a Godot property value literal."""
+    text = text.strip()
+    if text.startswith('"'):
+        return text[1:-1]
+    if text in ("true", "false"):
+        return text == "true"
+    m = re.match(r"(\w[\w\d]*)\((.*)\)$", text, re.S)
+    if m:
+        kind, inner = m.group(1), m.group(2)
+        if kind in ("Vector2", "Vector3", "Color", "Vector2i", "Vector3i",
+                    "Transform3D", "Transform2D", "Quaternion", "Rect2",
+                    "Rect2i", "Basis"):
+            nums = [float(v) for v in inner.replace("\n", " ").split(",")]
+            return (kind, nums)
+        if kind in ("SubResource", "ExtResource", "NodePath"):
+            return (kind, inner.strip().strip('"'))
+        return (kind, inner)
+    try:
+        return int(text)
+    except ValueError:
+        pass
+    try:
+        return float(text)
+    except ValueError:
+        return text
+
+
+def parse_tscn(text: str) -> List[dict]:
+    """Split a .tscn into sections: each a dict with ``_type``, header attrs
+    and body properties."""
+    sections = []
+    current = None
+    body_lines: List[str] = []
+
+    def flush_body():
+        if current is None:
+            return
+        # join continuation lines (multi-line Transform3D etc.)
+        joined: List[str] = []
+        for line in body_lines:
+            if joined and "=" not in line.split("(")[0]:
+                joined[-1] += " " + line.strip()
+            else:
+                joined.append(line)
+        for line in joined:
+            if "=" not in line:
+                continue
+            key, _, val = line.partition("=")
+            current[key.strip()] = _parse_value(val)
+
+    for raw in text.splitlines():
+        line = raw.rstrip()
+        if not line:
+            continue
+        m = _SECTION_RE.match(line)
+        if m:
+            flush_body()
+            body_lines = []
+            current = {"_type": m.group(1)}
+            for am in _ATTR_RE.finditer(m.group(2)):
+                current[am.group(1)] = _parse_value(am.group(2))
+            sections.append(current)
+        elif current is not None:
+            body_lines.append(line)
+    flush_body()
+    return sections
+
+
+# -- resource interpretation ---------------------------------------------------
+
+#: Godot FastNoiseLite enums → NoiseSpec fields
+_NOISE_TYPES = {0: "simplex", 1: "simplex_smooth", 2: "cellular",
+                3: "perlin", 4: "value", 5: "value"}
+_FRACTAL_TYPES = {0: "none", 1: "fbm", 2: "ridged", 3: "ping_pong"}
+
+
+def _noise_spec_from(props: dict) -> NoiseSpec:
+    """FastNoiseLite sub-resource → NoiseSpec (Godot defaults where unset)."""
+    warp = bool(props.get("domain_warp_enabled", False))
+    return NoiseSpec(
+        noise_type=_NOISE_TYPES.get(int(props.get("noise_type", 1)),
+                                    "simplex_smooth"),
+        seed=int(props.get("seed", 0)),
+        frequency=float(props.get("frequency", 0.01)),
+        fractal_type=_FRACTAL_TYPES.get(int(props.get("fractal_type", 1)),
+                                        "fbm"),
+        octaves=int(props.get("fractal_octaves", 5)),
+        lacunarity=float(props.get("fractal_lacunarity", 2.0)),
+        gain=float(props.get("fractal_gain", 0.5)),
+        ping_pong_strength=float(props.get("fractal_ping_pong_strength", 2.0)),
+        warp_enabled=warp,
+        warp_amplitude=float(props.get("domain_warp_amplitude", 30.0)),
+        warp_frequency=float(props.get("domain_warp_frequency", 0.05)),
+        warp_octaves=int(props.get("domain_warp_fractal_octaves", 5)),
+        warp_gain=float(props.get("domain_warp_fractal_gain", 0.5)),
+        warp_lacunarity=float(props.get("domain_warp_fractal_lacunarity", 6.0)),
+    )
+
+
+def _variant_from_shader_path(path: str) -> str:
+    name = os.path.basename(path)
+    name = name.replace("planet_atmosphere_", "").replace(".gdshader", "")
+    if name in VARIANTS:
+        return name
+    raise ValueError(f"unknown atmosphere shader variant {path!r}")
+
+
+def _transform3d(nums: List[float]) -> np.ndarray:
+    """Godot Transform3D(xx,yx,zx, xy,yy,zy, xz,yz,zz, ox,oy,oz) → 4×4."""
+    m = np.eye(4, dtype=np.float32)
+    basis = np.array(nums[:9], np.float32).reshape(3, 3).T
+    m[:3, :3] = basis
+    m[:3, 3] = nums[9:12]
+    return m
+
+
+@dataclasses.dataclass
+class ImportResult:
+    scene: Scene
+    skipped: List[str]
+
+
+def load_tscn(path: str, procedural: bool = True,
+              shape_texture_size: int = 64) -> ImportResult:
+    """Import a Godot scene file into a renderable :class:`Scene`."""
+    with open(path) as f:
+        sections = parse_tscn(f.read())
+
+    ext: Dict[str, dict] = {}
+    sub: Dict[str, dict] = {}
+    for s in sections:
+        if s["_type"] == "ext_resource":
+            ext[s.get("id")] = s
+        elif s["_type"] == "sub_resource":
+            sub[s.get("id")] = s
+
+    def deref(v):
+        if isinstance(v, tuple) and v[0] == "SubResource":
+            return sub.get(v[1])
+        if isinstance(v, tuple) and v[0] == "ExtResource":
+            return ext.get(v[1])
+        return None
+
+    # -- scene-tree pass: paths and global transforms -----------------------
+    nodes: Dict[str, dict] = {}  # path → section
+    globals_: Dict[str, np.ndarray] = {}  # path → global 4×4
+    for s in sections:
+        if s["_type"] != "node":
+            continue
+        name = str(s.get("name", "?"))
+        parent = s.get("parent")
+        tf = s.get("transform")
+        local = _transform3d(tf[1]) if isinstance(tf, tuple) else np.eye(
+            4, dtype=np.float32)
+        if parent is None:
+            path = "."
+            g = local
+        else:
+            parent = str(parent)
+            path = name if parent == "." else f"{parent}/{name}"
+            g = globals_.get(parent if parent != "." else ".",
+                             np.eye(4, dtype=np.float32)) @ local
+        nodes[path] = s
+        globals_[path] = g
+        s["_path"] = path
+
+    def resolve_path(from_path: str, rel) -> Optional[str]:
+        """NodePath resolution relative to a node (e.g. '../Sun/Light')."""
+        if isinstance(rel, tuple):
+            rel = rel[1]
+        parts = [p for p in str(rel).split("/") if p]
+        cur = [] if from_path == "." else from_path.split("/")
+        for p in parts:
+            if p == "..":
+                if cur:
+                    cur.pop()
+            else:
+                cur.append(p)
+        return "/".join(cur) if cur else "."
+
+    skipped: List[str] = []
+    atmospheres: List[PlanetAtmosphere] = []
+    spheres = []
+    boxes = []
+    light_dir = (0.0, 0.0, -1.0)
+
+    for path, s in nodes.items():
+        name = s.get("name", "?")
+        ntype = s.get("type", "")
+        inst = deref(s.get("instance")) if "instance" in s else None
+        mat = globals_[path]
+
+        if inst is not None and str(inst.get("path", "")).endswith(
+                "planet_atmosphere.tscn"):
+            atmo = _build_atmosphere(s, deref, procedural, shape_texture_size,
+                                     mat)
+            sp = s.get("sun_path")
+            if sp is not None:
+                target = resolve_path(path, sp)
+                if target in globals_:
+                    atmo.sun = Node3D(
+                        transform=globals_[target],
+                        name=str(nodes[target].get("name", "Sun")))
+                else:
+                    skipped.append(f"node {name}: sun_path {target!r} not found")
+            atmospheres.append(atmo)
+        elif ntype == "MeshInstance3D":
+            mesh = deref(s.get("mesh"))
+            if mesh is None:
+                skipped.append(f"node {name}: no mesh")
+                continue
+            mt = mesh.get("type")
+            if mt == "SphereMesh":
+                radius = float(mesh.get("radius", 0.5))
+                albedo = (0.8, 0.8, 0.8)
+                unshaded = 0.0
+                mat_res = deref(mesh.get("material")) or deref(
+                    s.get("material_override"))
+                if mat_res is not None:
+                    col = mat_res.get("albedo_color")
+                    if isinstance(col, tuple):
+                        albedo = tuple(col[1][:3])
+                    if int(mat_res.get("shading_mode", 1)) == 0:
+                        unshaded = 1.0
+                spheres.append((tuple(mat[:3, 3]), radius, albedo, unshaded))
+            elif mt == "BoxMesh":
+                size = mesh.get("size", ("Vector3", [1.0, 1.0, 1.0]))[1]
+                r = mat[:3, :3]
+                t = mat[:3, 3]
+                w2b = np.eye(4, dtype=np.float32)
+                w2b[:3, :3] = r.T
+                w2b[:3, 3] = -r.T @ t
+                boxes.append((w2b, tuple(v * 0.5 for v in size),
+                              (0.7, 0.7, 0.7)))
+            else:
+                skipped.append(f"node {name}: mesh type {mt}")
+        elif ntype == "DirectionalLight3D":
+            # light travels along the node's -Z basis column
+            light_dir = tuple(-mat[:3, 2])
+        elif ntype in ("Node", "Node3D", "WorldEnvironment", "Camera3D"):
+            pass
+        else:
+            skipped.append(f"node {name}: type {ntype}")
+
+    opaque = OpaqueScene.create(spheres=spheres, boxes=boxes,
+                                light_dir=light_dir,
+                                sky_color=(0.001, 0.001, 0.002))
+    return ImportResult(Scene(atmospheres=atmospheres, opaque=opaque), skipped)
+
+
+def _build_atmosphere(node: dict, deref, procedural: bool,
+                      shape_texture_size: int, mat: np.ndarray
+                      ) -> PlanetAtmosphere:
+    variant = "no_clouds"
+    shader = deref(node.get("custom_shader"))
+    if shader is not None:
+        variant = _variant_from_shader_path(str(shader.get("path", "")))
+    cfg = VARIANTS[variant]
+
+    shape_spec = None
+    coverage_spec = None
+    coverage_scale = (100.0, 100.0, 100.0)
+    textures = {}
+    for key, value in node.items():
+        if not key.startswith("shader_params/"):
+            continue
+        res = deref(value)
+        if res is None:
+            continue
+        if key.endswith("u_cloud_shape_texture"):
+            noise = deref(res.get("noise"))
+            if noise is not None:
+                shape_spec = _noise_spec_from(noise)
+        elif key.endswith("u_cloud_coverage_cubemap"):
+            noise = deref(res.get("noise"))
+            if noise is not None:
+                coverage_spec = _noise_spec_from(noise)
+            sc = res.get("scale")
+            if isinstance(sc, tuple):
+                coverage_scale = tuple(sc[1])
+
+    if cfg.clouds_enabled:
+        if procedural and shape_spec is not None and coverage_spec is not None:
+            cfg = dataclasses.replace(
+                cfg,
+                cloud_shape_noise=ProceduralField(
+                    noise=shape_spec, scale=(float(shape_texture_size),) * 3),
+                cloud_coverage_noise=ProceduralField(
+                    noise=coverage_spec, scale=coverage_scale),
+                cloud_coverage_interp=True,
+            )
+        elif shape_spec is not None and coverage_spec is not None:
+            from ..ops.sampling import bake_noise_cubemap, bake_noise_texture3d
+
+            textures["u_cloud_shape_texture"] = bake_noise_texture3d(
+                shape_spec, shape_texture_size)
+            textures["u_cloud_coverage_cubemap"] = bake_noise_cubemap(
+                coverage_spec, coverage_scale, 256)
+
+    atmo = PlanetAtmosphere(
+        planet_radius=float(node.get("planet_radius", 1.0)),
+        atmosphere_height=float(node.get("atmosphere_height", 0.1)),
+        custom_shader=cfg,
+        clouds_rotation_speed=float(node.get("clouds_rotation_speed", 1.0)),
+        force_fullscreen=bool(node.get("force_fullscreen", False)),
+        transform=mat,
+        name=str(node.get("name", "PlanetAtmosphere")),
+    )
+    # scalar/color shader params
+    for key, value in node.items():
+        if not key.startswith("shader_params/"):
+            continue
+        uname = key[len("shader_params/"):]
+        if isinstance(value, tuple):
+            if value[0] in ("Color", "Vector3"):
+                atmo.set_shader_parameter(uname, value[1][:3])
+            # resources handled above
+        elif isinstance(value, (int, float, bool)):
+            atmo.set_shader_parameter(uname, float(value))
+    for uname, tex in textures.items():
+        atmo.set_shader_parameter(uname, tex)
+    return atmo

@@ -1,0 +1,166 @@
+"""Godot .tscn importer: fixture scene + (when mounted) the reference demo."""
+
+import os
+
+import numpy as np
+import pytest
+
+from godot_atmosphere_shader_tpu.models.tscn import load_tscn, parse_tscn
+
+FIXTURE = """[gd_scene load_steps=8 format=3]
+
+[ext_resource type="PackedScene" path="res://addons/zylann.atmosphere/planet_atmosphere.tscn" id="2"]
+[ext_resource type="Shader" path="res://addons/zylann.atmosphere/shaders/planet_atmosphere_clouds.gdshader" id="3"]
+[ext_resource type="Script" path="res://addons/zylann.atmosphere/noise_cubemap.gd" id="4"]
+
+[sub_resource type="StandardMaterial3D" id="mat_ground"]
+albedo_color = Color(0.2, 0.5, 0.3, 1)
+
+[sub_resource type="SphereMesh" id="ground_mesh"]
+material = SubResource("mat_ground")
+radius = 50.0
+height = 100.0
+
+[sub_resource type="FastNoiseLite" id="shape_noise"]
+noise_type = 2
+frequency = 0.15
+fractal_type = 2
+fractal_octaves = 6
+fractal_gain = 0.7
+
+[sub_resource type="NoiseTexture3D" id="shape_tex"]
+seamless = true
+noise = SubResource("shape_noise")
+
+[sub_resource type="FastNoiseLite" id="cov_noise"]
+domain_warp_enabled = true
+domain_warp_amplitude = 45.0
+domain_warp_frequency = 0.02
+domain_warp_fractal_octaves = 2
+
+[sub_resource type="Cubemap" id="cov_cube"]
+script = ExtResource("4")
+noise = SubResource("cov_noise")
+resolution = 128
+scale = Vector3(50, 80, 50)
+
+[sub_resource type="BoxMesh" id="box_mesh"]
+size = Vector3(4, 6, 8)
+
+[node name="Root" type="Node"]
+
+[node name="Sun" type="MeshInstance3D" parent="."]
+transform = Transform3D(1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 300)
+
+[node name="Light" type="DirectionalLight3D" parent="Sun"]
+transform = Transform3D(1, 0, 0, 0, 1, 0, 0, 0, 1, 0, 0, -60)
+
+[node name="Ground" type="MeshInstance3D" parent="."]
+material_override = SubResource("mat_ground")
+mesh = SubResource("ground_mesh")
+
+[node name="Atmo" parent="." instance=ExtResource("2")]
+planet_radius = 50.0
+atmosphere_height = 4.0
+sun_path = NodePath("../Sun/Light")
+custom_shader = ExtResource("3")
+shader_params/u_density = 0.7
+shader_params/u_scattering_strength = 1.5
+shader_params/u_atmosphere_modulate = Color(1, 0.9, 0.8, 1)
+shader_params/u_cloud_top = 0.55
+shader_params/u_cloud_shape_texture = SubResource("shape_tex")
+shader_params/u_cloud_coverage_cubemap = SubResource("cov_cube")
+
+[node name="Crate" type="MeshInstance3D" parent="."]
+transform = Transform3D(1, 0, 0, 0, 1, 0, 0, 0, 1, 30, 0, 40)
+mesh = SubResource("box_mesh")
+"""
+
+
+@pytest.fixture()
+def fixture_path(tmp_path):
+    p = tmp_path / "scene.tscn"
+    p.write_text(FIXTURE)
+    return str(p)
+
+
+def test_parse_sections():
+    sections = parse_tscn(FIXTURE)
+    types = [s["_type"] for s in sections]
+    assert types.count("node") == 6
+    assert types.count("sub_resource") == 7
+
+
+def test_import_atmosphere_params(fixture_path):
+    result = load_tscn(fixture_path)
+    scene = result.scene
+    assert len(scene.atmospheres) == 1
+    atmo = scene.atmospheres[0]
+    assert atmo.planet_radius == 50.0
+    assert atmo.atmosphere_height == 4.0
+    assert float(atmo.get_shader_parameter("u_density")) == pytest.approx(0.7)
+    assert float(atmo.get_shader_parameter("u_scattering_strength")) == 1.5
+    assert float(atmo.get_shader_parameter("u_cloud_top")) == pytest.approx(0.55)
+    # color converted sRGB→linear
+    mod = np.asarray(atmo.get_shader_parameter("u_atmosphere_modulate"))
+    assert mod[0] == pytest.approx(1.0) and mod[1] < 0.9
+    # variant from the shader file name
+    assert atmo.config.clouds_enabled and atmo.config.cloud_steps == 32
+    # procedural specs from the FastNoiseLite sub-resources
+    assert atmo.config.cloud_shape_noise.noise.noise_type == "cellular"
+    assert atmo.config.cloud_shape_noise.noise.octaves == 6
+    cov = atmo.config.cloud_coverage_noise
+    assert cov.noise.warp_enabled and cov.noise.warp_amplitude == 45.0
+    assert cov.scale == (50.0, 80.0, 50.0)
+    # sun resolved through the scene tree: 300 (Sun) − 60 (Light local z)
+    np.testing.assert_allclose(atmo.sun.position, [0.0, 0.0, 240.0], atol=1e-5)
+
+
+def test_import_opaque_geometry(fixture_path):
+    result = load_tscn(fixture_path)
+    op = result.scene.opaque
+    assert op.sphere_centers.shape[0] == 1  # Ground (fixture Sun has no mesh)
+    assert op.box_world_to_box.shape[0] == 1
+    assert float(op.sphere_radii[0]) == 50.0
+    assert any("Sun" in s for s in result.skipped)  # meshless node noted
+    # light direction from the DirectionalLight basis (-Z, identity here)
+    np.testing.assert_allclose(np.asarray(op.light_dir), [0, 0, -1], atol=1e-6)
+
+
+def test_imported_scene_renders(fixture_path):
+    from godot_atmosphere_shader_tpu.utils.camera import Camera, look_at
+
+    scene = load_tscn(fixture_path).scene
+    cam = Camera.create(look_at((0.0, 20.0, 160.0), (0.0, 0.0, 0.0)))
+    scene.update(0.0, cam)
+    out = scene.render(cam, 48, 48)
+    img = np.asarray(out["color"])
+    assert np.isfinite(img).all() and img.max() > 0.01
+
+
+REFERENCE_TSCN = ("/root/reference/addons/zylann.atmosphere/demo/"
+                  "planet_atmosphere_test.tscn")
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE_TSCN),
+                    reason="reference checkout not mounted")
+def test_import_reference_demo_scene():
+    """The actual upstream demo scene imports and matches its known values."""
+    result = load_tscn(REFERENCE_TSCN)
+    scene = result.scene
+    assert len(scene.atmospheres) == 1
+    atmo = scene.atmospheres[0]
+    assert atmo.planet_radius == 100.0
+    assert atmo.atmosphere_height == 8.0
+    assert float(atmo.get_shader_parameter("u_density")) == pytest.approx(0.5)
+    assert atmo.config.clouds_enabled
+    assert atmo.config.cloud_shape_noise.noise.noise_type == "cellular"
+    assert atmo.config.cloud_shape_noise.noise.octaves == 8
+    assert atmo.config.cloud_coverage_noise.scale == (100.0, 200.0, 100.0)
+    # sun_path → ../Sun/DirectionalLight: 598.677 − 120
+    np.testing.assert_allclose(atmo.sun.position, [0.0, 0.0, 478.677],
+                               atol=1e-3)
+    # opaque: ground sphere R=100, sun mesh R=20, moon R=10, one box
+    radii = sorted(float(r) for r in result.scene.opaque.sphere_radii)
+    assert radii == [10.0, 20.0, 100.0]
+    assert result.scene.opaque.box_world_to_box.shape[0] == 1

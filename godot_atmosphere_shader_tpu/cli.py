@@ -46,6 +46,24 @@ def cmd_render(args) -> None:
     write_png(args.output, to_uint8(srgb))
     print(f"wrote {args.output} ({img.shape[1]}x{img.shape[0]}) in {dt:.2f}s "
           f"(includes compile on first run)")
+    if args.stats:
+        import json
+
+        from .utils.profiling import FrameTimer
+
+        atmo_cfg = scene.atmospheres[0].config if scene.atmospheres else None
+        timer = FrameTimer(img.shape[0], img.shape[1], atmo_cfg)
+        for i in range(args.stats):
+            scene.update(args.time + 0.016 * (i + 1), cam)
+            with timer.frame():
+                out = scene.render(cam, img.shape[0], img.shape[1],
+                                   renderer=args.renderer)
+                _ = np.asarray(out["color"][0, 0])  # drain (tunnel-safe)
+        stats = timer.stats().as_dict()
+        # per-frame latency including the device→host sync (bench.py reports
+        # amortized pipeline throughput instead)
+        stats["includes_fetch_rtt"] = True
+        print(json.dumps(stats))
 
 
 def cmd_bake_lut(args) -> None:
@@ -152,6 +170,9 @@ def main(argv=None) -> int:
     r.add_argument("--scene", default=None,
                    help="import a Godot .tscn scene file instead of the "
                         "built-in demo")
+    r.add_argument("--stats", type=int, default=0, metavar="N",
+                   help="after writing the frame, time N more frames and "
+                        "print per-frame stats JSON")
     r.add_argument("-o", "--output", default="frame.png")
     r.set_defaults(fn=cmd_render)
 

@@ -19,8 +19,6 @@ Two field modes:
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 
 from ..ops.noise import NoiseSpec

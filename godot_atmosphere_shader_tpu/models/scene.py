@@ -23,7 +23,7 @@ import numpy as np
 from ..ops.optical_depth import OpticalDepthCache
 from ..render.opaque import OpaqueScene
 from ..render.renderer import render_frame
-from ..utils.camera import Camera, rigid_inverse
+from ..utils.camera import Camera
 from ..utils.color import srgb_to_linear
 from .params import AtmosphereParams, VariantConfig, VARIANTS, DEFAULT_VARIANT
 
@@ -345,13 +345,16 @@ class Scene:
                 # Godot's transparent-pass sorting: the first pass fuses the
                 # opaque scene, later passes composite over the previous
                 # color using the carried linear depth
+                n_layers = len(params)
                 out = render_frame_pallas(params[0], configs[0], camera,
                                           self.opaque, height, width,
-                                          block=(32, 128))
-                for p, c in zip(params[1:], configs[1:]):
+                                          block=(32, 128),
+                                          want_depth=n_layers > 1)
+                for i, (p, c) in enumerate(zip(params[1:], configs[1:])):
                     out = render_frame_pallas(
                         p, c, camera, None, height, width, block=(32, 128),
-                        background=(out["color"], out["linear_depth"]))
+                        background=(out["color"], out["linear_depth"]),
+                        want_depth=i < n_layers - 2)
                 return out
             if renderer == "pallas":
                 raise ValueError(

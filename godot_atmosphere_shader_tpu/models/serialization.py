@@ -11,12 +11,10 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Optional
-
 import numpy as np
 
 from ..ops.noise import NoiseSpec
-from .params import ProceduralField, VariantConfig, VARIANTS
+from .params import ProceduralField, VariantConfig
 from .scene import Node3D, PlanetAtmosphere, Scene, _UNIFORM_TO_FIELD, _API_SHADER_PARAMS
 
 

@@ -18,13 +18,13 @@ from __future__ import annotations
 import dataclasses
 import os
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
 from ..ops.noise import NoiseSpec
 from ..render.opaque import OpaqueScene
-from .params import ProceduralField, VariantConfig, VARIANTS
+from .params import ProceduralField, VARIANTS
 from .scene import Node3D, PlanetAtmosphere, Scene
 
 # -- low-level text parsing ----------------------------------------------------

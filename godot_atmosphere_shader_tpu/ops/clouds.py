@@ -25,8 +25,8 @@ from typing import Callable
 
 import jax.numpy as jnp
 
-from ..utils.vecmath import (Vec3, dot, length, lerp, normalize, pow2,
-                             ray_sphere, saturate, smoothstep, blend_colors)
+from ..utils.vecmath import (Vec3, dot, length, lerp, pow2, ray_sphere,
+                             saturate, smoothstep, blend_colors)
 
 
 @dataclasses.dataclass

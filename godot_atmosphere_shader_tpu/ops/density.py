@@ -10,8 +10,6 @@ behavior we preserve).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from ..utils.vecmath import saturate
 
 

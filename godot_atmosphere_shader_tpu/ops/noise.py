@@ -21,8 +21,6 @@ look*, not its exact bit patterns (a from-scratch hash/gradient basis).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax.numpy as jnp
 
 from ..utils.vecmath import Vec3

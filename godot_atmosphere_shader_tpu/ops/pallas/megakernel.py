@@ -25,9 +25,7 @@ Two design points make this possible:
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-import math
 from types import SimpleNamespace
 from typing import Optional, Tuple
 
@@ -79,6 +77,7 @@ class _Layout:
 
 def _build_layout(n_spheres: int, n_boxes: int) -> _Layout:
     lay = _Layout()
+    lay.add("row0", ())  # first global row of this band (multi-chip shards)
     # camera
     lay.add("cam_pos", (3,))
     lay.add("cam_rot", (3, 3))  # view→world rotation
@@ -169,22 +168,27 @@ class _Reader:
 
 def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
                  n_boxes: int, height: int, width: int, bh: int, bw: int,
-                 with_opaque: bool, with_background: bool = False):
+                 with_opaque: bool, with_background: bool = False,
+                 want_depth: bool = False):
     aspect = width / height
 
     def kernel(scal_ref, blue_ref, *refs):
+        out_ld = None
         if with_background:
             bg_r_ref, bg_g_ref, bg_b_ref, bg_ld_ref = refs[:4]
-            out_r, out_g, out_b, out_a, out_ld = refs[4:]
-        else:
+            refs = refs[4:]
+        if want_depth:
             out_r, out_g, out_b, out_a, out_ld = refs
+        else:
+            out_r, out_g, out_b, out_a = refs
         s = _Reader(scal_ref, layout)
 
         # ---- per-pixel ray generation (view → world) ----
         by = pl.program_id(0)
         bx = pl.program_id(1)
-        iy = (by * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
-              ).astype(jnp.float32)
+        iy = s.scalar("row0") + (
+            by * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        ).astype(jnp.float32)
         ix = (bx * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
               ).astype(jnp.float32)
         ndc_x = 2.0 * (ix + 0.5) / width - 1.0
@@ -283,7 +287,8 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
         out_g[:] = bg.y * (1.0 - a) + rgb.y * a
         out_b[:] = bg.z * (1.0 - a) + rgb.z * a
         out_a[:] = a
-        out_ld[:] = linear_depth
+        if want_depth:
+            out_ld[:] = linear_depth
 
     return kernel
 
@@ -300,11 +305,12 @@ def _check_config(config: VariantConfig):
 
 def _build_values(params: AtmosphereParams, camera: Camera,
                   opaque: Optional[OpaqueScene], n_spheres: int,
-                  n_boxes: int) -> dict:
+                  n_boxes: int, row0=0.0) -> dict:
     """Field dict for the SMEM pack — traced (runs inside jit; see _pack)."""
     params = params.resolve_frame_state()
     model_to_world = rigid_inverse(params.world_to_model)
     values = {
+        "row0": jnp.asarray(row0, jnp.float32),
         "cam_pos": camera.view_to_world[:3, 3],
         "cam_rot": camera.view_to_world[:3, :3],
         "world_to_view": camera.world_to_view,
@@ -346,49 +352,91 @@ def _build_values(params: AtmosphereParams, camera: Camera,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "height", "width", "block", "with_opaque",
-                     "n_spheres", "n_boxes", "interpret"))
+                     "n_spheres", "n_boxes", "interpret", "out_height",
+                     "want_depth"))
 def _render_pallas_jit(params, camera, opaque, config, height, width, block,
                        with_opaque, n_spheres, n_boxes, interpret=False,
-                       background=None):
+                       background=None, row0=0.0, out_height=None,
+                       jitter_band=None, want_depth=False):
     bh, bw = block
+    out_height = height if out_height is None else out_height
     layout = _build_layout(n_spheres, n_boxes)
-    values = _build_values(params, camera, opaque, n_spheres, n_boxes)
+    values = _build_values(params, camera, opaque, n_spheres, n_boxes,
+                           row0=row0)
     scalars = _pack(layout, values)
     with_background = background is not None
     kernel = _make_kernel(config, layout, n_spheres, n_boxes, height, width,
-                          bh, bw, with_opaque, with_background)
-    blue = jnp.asarray(blue_noise_256())
-    tb_y = max(256 // bh, 1)
-    tb_x = max(256 // bw, 1)
+                          bh, bw, with_opaque, with_background, want_depth)
+    if jitter_band is not None:
+        blue = jitter_band  # externally supplied per-band jitter plane
+        tb_y = tb_x = None
+    else:
+        blue = jnp.asarray(blue_noise_256())
+        tb_y = max(256 // bh, 1)
+        tb_x = max(256 // bw, 1)
 
-    grid = (pl.cdiv(height, bh), pl.cdiv(width, bw))
+    grid = (pl.cdiv(out_height, bh), pl.cdiv(width, bw))
     tile_spec = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, layout.size), lambda i, j: (0, 0),
                      memory_space=pltpu.SMEM),
         # blue-noise tile: modular index map implements the screen-space
-        # 256-periodic tiling without any per-pixel gather
-        pl.BlockSpec((min(bh, 256), min(bw, 256)),
-                     lambda i, j: (i % tb_y, j % tb_x),
-                     memory_space=pltpu.VMEM),
+        # 256-periodic tiling without any per-pixel gather; band rendering
+        # passes a pre-tiled per-band jitter plane instead
+        (tile_spec if jitter_band is not None else
+         pl.BlockSpec((min(bh, 256), min(bw, 256)),
+                      lambda i, j: (i % tb_y, j % tb_x),
+                      memory_space=pltpu.VMEM)),
     ]
     args = [scalars, blue]
     if with_background:
         in_specs += [tile_spec] * 4
         bg_color, bg_ld = background
         args += [bg_color[..., 0], bg_color[..., 1], bg_color[..., 2], bg_ld]
-    # outputs: r, g, b, alpha, linear_depth (depth passthrough for chaining)
-    out_shape = [jax.ShapeDtypeStruct((height, width), jnp.float32)] * 5
+    # outputs: r, g, b, alpha [, linear_depth when chaining needs it —
+    # the extra full-frame write costs measurable HBM time, so it's opt-in]
+    n_out = 5 if want_depth else 4
+    out_shape = [jax.ShapeDtypeStruct((out_height, width), jnp.float32)] * n_out
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=[tile_spec] * 5,
+        out_specs=[tile_spec] * n_out,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
     return outs
+
+
+def render_band_pallas(params: AtmosphereParams, config: VariantConfig,
+                       camera: Camera, opaque: Optional[OpaqueScene],
+                       height: int, width: int, row0, band_height: int,
+                       block: Tuple[int, int] = (32, 128),
+                       interpret: bool = False) -> dict:
+    """Render rows ``[row0, row0 + band_height)`` of a ``height``-row frame.
+
+    The building block for multi-chip row sharding (``row0`` may be traced —
+    e.g. derived from ``jax.lax.axis_index`` inside ``shard_map``).  Jitter
+    comes in as an explicitly sliced plane so shards reproduce the exact
+    single-chip blue-noise alignment.
+    """
+    _check_config(config)
+    bh, bw = block
+    full = jnp.tile(jnp.asarray(blue_noise_256()),
+                    (-(-height // 256), -(-width // 256)))[:height, :width]
+    jitter_band = jax.lax.dynamic_slice(
+        full, (jnp.asarray(row0, jnp.int32), 0), (band_height, width))
+
+    n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
+    n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
+    r, g, b, a, ld = _render_pallas_jit(
+        params, camera, opaque, config, height, width, (bh, bw),
+        opaque is not None, n_spheres, n_boxes, interpret=interpret,
+        row0=jnp.asarray(row0, jnp.float32), out_height=band_height,
+        jitter_band=jitter_band, want_depth=True)
+    return {"color": jnp.stack([r, g, b], axis=-1), "alpha": a,
+            "linear_depth": ld}
 
 
 def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
@@ -396,7 +444,7 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
                         height: int, width: int,
                         block: Tuple[int, int] = (32, 128),
                         interpret: bool = False,
-                        background=None) -> dict:
+                        background=None, want_depth: bool = False) -> dict:
     """Render one frame with the fused megakernel.
 
     Returns ``{"color": (H, W, 3), "alpha": (H, W), "linear_depth": (H, W)}``.
@@ -413,9 +461,11 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
     n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
 
-    r, g, b, a, ld = _render_pallas_jit(
+    outs = _render_pallas_jit(
         params, camera, opaque, config, height, width, (bh, bw),
         opaque is not None, n_spheres, n_boxes, interpret=interpret,
-        background=background)
-    return {"color": jnp.stack([r, g, b], axis=-1), "alpha": a,
-            "linear_depth": ld}
+        background=background, want_depth=want_depth)
+    result = {"color": jnp.stack(outs[:3], axis=-1), "alpha": outs[3]}
+    if want_depth:
+        result["linear_depth"] = outs[4]
+    return result

@@ -17,8 +17,21 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax ≥ 0.8 promotes shard_map out of experimental
+    from jax import shard_map as _shard_map_raw
+    _REP_KWARG = "check_vma"
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_raw
+    _REP_KWARG = "check_rep"
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    """Version-compat wrapper: disable replication checking (our bodies use
+    scalar collectives-free math; the checker rejects the pallas_call)."""
+    return _shard_map_raw(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, **{_REP_KWARG: False})
 
 from ..models.params import AtmosphereParams, VariantConfig
 from ..render.atmosphere_pass import atmosphere_pass, composite_over
@@ -61,6 +74,51 @@ def _shade_slice(atmospheres, configs, camera, opaque,
     return jnp.stack([color.x, color.y, color.z], axis=-1)
 
 
+def render_frame_pallas_sharded(params: AtmosphereParams,
+                                config: VariantConfig,
+                                camera: Camera,
+                                opaque: Optional[OpaqueScene],
+                                height: int, width: int,
+                                mesh: Mesh,
+                                block: Tuple[int, int] = (32, 128),
+                                interpret: bool = False) -> jnp.ndarray:
+    """Row-shard the framebuffer over ``mesh`` with the fused Pallas
+    megakernel running per shard — the production multi-chip path.
+
+    The megakernel generates rays from global pixel indices, so each shard
+    renders its own row range by offsetting the camera's NDC window: we
+    simply run the kernel on the full-height grid locally... instead, each
+    device renders ``height/n`` rows by passing a per-shard row offset
+    through the scalar block.  Implemented by rendering the full frame in
+    row bands: shard i computes rows [i·h_local, (i+1)·h_local).
+
+    Zero cross-chip communication — identical to the XLA sharded path.
+    """
+    from ..ops.pallas.megakernel import render_band_pallas
+
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    if height % n != 0:
+        raise ValueError(f"height {height} not divisible by mesh size {n}")
+    h_local = height // n
+
+    def shard_body(_token):
+        idx = jax.lax.axis_index(axis)
+        out = render_band_pallas(params, config, camera, opaque, height,
+                                 width, idx * h_local, h_local, block,
+                                 interpret=interpret)
+        return out["color"]
+
+    body = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(axis, None, None),
+    )
+    token = jnp.zeros((n,), jnp.float32)
+    return jax.jit(body)(token)
+
+
 def render_frame_sharded(atmospheres: Tuple[AtmosphereParams, ...],
                          configs: Tuple[VariantConfig, ...],
                          camera: Camera,
@@ -96,7 +154,6 @@ def render_frame_sharded(atmospheres: Tuple[AtmosphereParams, ...],
             in_specs=(replicated, replicated, replicated,
                       row_sharded, row_sharded, row_sharded, row_sharded),
             out_specs=P(axis, None, None),
-            check_rep=False,
         )
         return body(atmos, cam, opq, ray_dir.x, ray_dir.y, ray_dir.z, jitter)
 

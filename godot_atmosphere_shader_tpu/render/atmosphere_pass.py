@@ -25,7 +25,7 @@ from ..ops.atmosphere_v2 import compute_atmosphere_v2
 from ..ops.clouds import render_clouds
 from ..ops.noise import sample_noise3
 from ..ops.sampling import sample_cubemap_bilinear, sample_trilinear_repeat
-from ..utils.camera import Camera, rigid_inverse, transform_point, world_ray_dirs
+from ..utils.camera import Camera, rigid_inverse, world_ray_dirs
 from ..utils.vecmath import Vec3, lerp, normalize, ray_sphere
 from .jitter import jitter_plane
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..utils.camera import (Camera, background_depth,
                             nonlinear_depth_from_view_z, transform_point,
                             transform_dir, world_ray_dirs)
-from ..utils.vecmath import Vec3, dot, normalize, ray_box, ray_sphere
+from ..utils.vecmath import Vec3, normalize, ray_box, ray_sphere
 
 
 @jax.tree_util.register_dataclass

@@ -15,7 +15,7 @@ TPU renderer, so the same capability ships as:
 from __future__ import annotations
 
 import math
-from typing import Iterator, Sequence
+from typing import Iterator
 
 import numpy as np
 

@@ -11,8 +11,6 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import time
-from typing import Optional
-
 import jax
 
 from ..models.params import VariantConfig

@@ -69,7 +69,8 @@ def test_megakernel_background_chaining_interpret():
                                   scene.opaque, h, w)["color"])
 
     out = render_frame_pallas(params[0], configs[0], cam, scene.opaque,
-                              h, w, block=(8, 128), interpret=True)
+                              h, w, block=(8, 128), interpret=True,
+                              want_depth=True)
     out = render_frame_pallas(params[1], configs[1], cam, None, h, w,
                               block=(8, 128), interpret=True,
                               background=(out["color"], out["linear_depth"]))

@@ -43,6 +43,41 @@ def _time_frames(render_fn, scene, cam) -> float:
     return (time.perf_counter() - t0) / FRAMES
 
 
+def bench_all_configs() -> None:
+    """Secondary mode (``python bench.py --all``): per-config lines for the
+    five BASELINE.json benchmark configs."""
+    from godot_atmosphere_shader_tpu.models.demo import build_demo_scene, demo_camera
+    from godot_atmosphere_shader_tpu.models.scene import PlanetAtmosphere
+
+    configs = [
+        ("1 v1 no-clouds 256x256 exterior", "v1_no_clouds", "exterior", 256, 256, False),
+        ("2 v2 scattering no-clouds 512x512", "no_clouds", "exterior", 512, 512, False),
+        ("3 scattering+clouds 1080p", "clouds", "avatar", 1080, 1920, False),
+        ("4 clouds_high interior 1080p", "clouds_high", "interior", 1080, 1920, False),
+        ("5 clouds_high_rm multi-planet 1080p", "clouds_high_rm", "space", 1080, 1920, True),
+    ]
+    for label, variant, pose, h, w, multi in configs:
+        scene = build_demo_scene(variant=variant, procedural=True)
+        if multi:
+            scene.atmospheres.append(PlanetAtmosphere(
+                planet_radius=10.0, atmosphere_height=2.0,
+                sun=scene.atmospheres[0].sun, custom_shader="no_clouds",
+                position=(-188.991, 0.0, 192.584)))
+        cam = demo_camera(pose)
+        scene.update(0.0, cam)
+        out = scene.render(cam, h, w)
+        _ = np.asarray(out["color"][0, 0])
+        t0 = time.perf_counter()
+        n = 16
+        for i in range(n):
+            scene.update(0.016 * (i + 1), cam)
+            out = scene.render(cam, h, w)
+        _ = np.asarray(out["color"][0, 0])
+        dt = (time.perf_counter() - t0) / n
+        print(json.dumps({"config": label, "frame_ms": round(dt * 1e3, 2),
+                          "mrays_per_s": round(h * w / dt / 1e6, 2)}))
+
+
 def main() -> None:
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene, demo_camera
     from godot_atmosphere_shader_tpu.ops.optical_depth import bake_optical_depth
@@ -96,4 +131,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--all" in sys.argv:
+        bench_all_configs()
+    else:
+        main()

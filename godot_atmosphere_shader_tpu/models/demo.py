@@ -139,6 +139,8 @@ def build_demo_scene(variant: str = "clouds", procedural: bool = True) -> Scene:
         light_dir=(0.0, 0.0, -1.0),
         ambient=0.02,
         sky_color=(0.001, 0.001, 0.002),
+        # procedural starfield standing in for the demo's space panorama
+        star_intensity=1.0,
     )
 
     return Scene(atmospheres=[atmo], opaque=opaque)

@@ -39,8 +39,10 @@ _API_SHADER_PARAMS = frozenset({
     "u_cloud_coverage_rotation", "u_optical_depth_texture",
 })
 
-#: changing these triggers a LUT rebake (planet_atmosphere.gd:79-81)
-_PARAMS_AFFECTING_OPTICAL_DEPTH = frozenset({"u_density"})
+# Rebake-on-change note: the reference tracks params affecting the LUT
+# explicitly (planet_atmosphere.gd:79-81, {u_density}); here the same
+# semantics fall out of OpticalDepthCache's key (R, H, density) — any change
+# to those values yields a new cache key and therefore a rebake.
 
 #: ``source_color`` uniforms: sRGB in, linear stored
 _COLOR_PARAMS = frozenset({

@@ -125,6 +125,7 @@ def _build_layout(n_spheres: int, n_boxes: int) -> _Layout:
     lay.add("light_dir", (3,))
     lay.add("ambient", ())
     lay.add("sky_color", (3,))
+    lay.add("star_intensity", ())
     return lay
 
 
@@ -236,6 +237,7 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
                 light_dir=s.vec("light_dir"),
                 ambient=s.scalar("ambient"),
                 sky_color=s.vec("sky_color"),
+                star_intensity=s.scalar("star_intensity"),
             )
             bg, _depth, linear_depth = render_opaque(
                 scene_view, cam_view, bh, bw, reverse_z=config.reverse_z,
@@ -342,10 +344,14 @@ def _build_values(params: AtmosphereParams, camera: Camera,
         values["light_dir"] = opaque.light_dir
         values["ambient"] = opaque.ambient
         values["sky_color"] = opaque.sky_color
+        values["star_intensity"] = (opaque.star_intensity
+                                    if opaque.star_intensity is not None
+                                    else jnp.float32(0.0))
     else:
         values["light_dir"] = jnp.zeros(3, jnp.float32)
         values["ambient"] = jnp.float32(0.0)
         values["sky_color"] = jnp.zeros(3, jnp.float32)
+        values["star_intensity"] = jnp.float32(0.0)
     return values
 
 

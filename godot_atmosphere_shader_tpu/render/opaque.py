@@ -40,10 +40,15 @@ class OpaqueScene:
     light_dir: jnp.ndarray  # (3,) direction light travels (from sun)
     ambient: jnp.ndarray  # scalar
     sky_color: jnp.ndarray  # (3,) linear
+    # procedural starfield (the demo's space-panorama analog — an actual
+    # equirect texture would be a gather; hashed star glints are free):
+    # 0 disables; otherwise scales star brightness
+    star_intensity: jnp.ndarray = None  # scalar
 
     @staticmethod
     def create(spheres=(), boxes=(), light_dir=(0.0, 0.0, -1.0),
-               ambient=0.02, sky_color=(0.0, 0.0, 0.0)) -> "OpaqueScene":
+               ambient=0.02, sky_color=(0.0, 0.0, 0.0),
+               star_intensity=0.0) -> "OpaqueScene":
         """``spheres``: list of (center, radius, albedo[, unshaded]);
         ``boxes``: list of (world_to_box 4×4, half_size, albedo)."""
         import numpy as np
@@ -75,6 +80,7 @@ class OpaqueScene:
             light_dir=jnp.asarray(light_dir, jnp.float32),
             ambient=jnp.asarray(ambient, jnp.float32),
             sky_color=jnp.asarray(sky_color, jnp.float32),
+            star_intensity=jnp.asarray(star_intensity, jnp.float32),
         )
 
 
@@ -156,15 +162,33 @@ def render_opaque(scene: OpaqueScene, camera: Camera, height: int, width: int,
 
     hit_any = best_t < big
 
+    # procedural starfield background (space-panorama analog): sparse hashed
+    # glints from the quantized ray direction — no texture, no gathers
+    star = 0.0
+    star_intensity = getattr(scene, "star_intensity", None)
+    if star_intensity is not None:
+        from ..ops.noise import hash3, _hash_to_unit
+
+        k = 220.0
+        cx = jnp.floor(ray_dir.x * k).astype(jnp.int32)
+        cy = jnp.floor(ray_dir.y * k).astype(jnp.int32)
+        cz = jnp.floor(ray_dir.z * k).astype(jnp.int32)
+        b = _hash_to_unit(hash3(cx, cy, cz, 77))
+        b2 = b * b
+        b4 = b2 * b2
+        b16 = b4 * b4
+        b16 = b16 * b16
+        star = jnp.maximum(b16 - 0.7, 0.0) * (1.0 / 0.3) * star_intensity
+
     # lambert + ambient (StandardMaterial3D-ish), unshaded passthrough
     ld = scene.light_dir
     ndotl = jnp.maximum(-(nx * ld[0] + ny * ld[1] + nz * ld[2]), 0.0)
     shade = scene.ambient + (1.0 - scene.ambient) * ndotl
     shade = jnp.where(unshaded > 0.5, 1.0, shade)
     rgb = Vec3(
-        jnp.where(hit_any, ar * shade, scene.sky_color[0]),
-        jnp.where(hit_any, ag * shade, scene.sky_color[1]),
-        jnp.where(hit_any, ab * shade, scene.sky_color[2]),
+        jnp.where(hit_any, ar * shade, scene.sky_color[0] + star),
+        jnp.where(hit_any, ag * shade, scene.sky_color[1] + star),
+        jnp.where(hit_any, ab * shade, scene.sky_color[2] + star),
     )
 
     # depth buffer: view-space z of hits, clear value elsewhere

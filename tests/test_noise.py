@@ -107,3 +107,23 @@ def test_noise_texture3d_seamless():
     # wrap continuity: boundary voxels ≈ their wrapped neighbors
     assert np.abs(tex[:, :, -1] - tex[:, :, 0]).mean() < np.abs(
         tex[:, :, 7] - tex[:, :, 0]).mean()
+
+
+def test_simplex_continuity():
+    """Branch-free corner ranking must not introduce discontinuities at
+    simplex cell boundaries (regression test for the rank formulation)."""
+    rng = np.random.default_rng(7)
+    eps = 1e-4
+    worst = 0.0
+    for _ in range(200):
+        p = rng.random(3) * 10 - 5
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        a = float(simplex_noise3(jnp.float32(p[0]), jnp.float32(p[1]),
+                                 jnp.float32(p[2]), 0))
+        b = float(simplex_noise3(jnp.float32(p[0] + d[0] * eps),
+                                 jnp.float32(p[1] + d[1] * eps),
+                                 jnp.float32(p[2] + d[2] * eps), 0))
+        worst = max(worst, abs(a - b))
+    # |∇simplex| is bounded (~8 for unit-amplitude); eps·bound ≈ 1e-3
+    assert worst < 5e-3, worst

@@ -301,14 +301,18 @@ class Scene:
 
     def _cam_info(self, camera: Camera):
         """One device→host fetch per distinct camera object (a fetch per
-        frame per atmosphere would serialize on tunnel round-trips)."""
-        key = id(camera.view_to_world)
-        info = self._cam_pos_cache.get(key)
-        if info is None:
-            info = (np.asarray(camera.view_to_world)[:3, 3],
-                    float(camera.near))
-            self._cam_pos_cache = {key: info}
-        return info
+        frame per atmosphere would serialize on tunnel round-trips).
+
+        The cache value keeps a reference to the keyed array: ``id()`` keys
+        are only stable while the object is alive, so holding it prevents a
+        recycled id from serving a stale position."""
+        arr = camera.view_to_world
+        key = id(arr)
+        entry = self._cam_pos_cache.get(key)
+        if entry is None:
+            entry = (arr, np.asarray(arr)[:3, 3], float(camera.near))
+            self._cam_pos_cache = {key: entry}
+        return entry[1], entry[2]
 
     def update(self, time_s: float, camera: Camera):
         cam_pos, cam_near = self._cam_info(camera)

@@ -326,8 +326,11 @@ class Scene:
 
         ``renderer``: ``"pallas"`` (fused megakernel — fastest),
         ``"xla"`` (whole-frame fused jit), or ``"auto"`` which picks the
-        megakernel whenever the scene is eligible (single atmosphere,
-        analytic optical depth, procedural cloud fields).
+        megakernel on TPU whenever the scene is eligible (analytic optical
+        depth, procedural cloud fields).  Both return ``color`` (H, W, 3)
+        and ``alpha`` (max over atmosphere layers); the XLA path adds the
+        nonlinear ``depth`` buffer, the pallas path ``linear_depth`` when a
+        chained pass produced it.
         """
         cam_pos, _ = self._cam_info(camera)
         order = sorted(self.atmospheres,
@@ -351,16 +354,22 @@ class Scene:
                 # Godot's transparent-pass sorting: the first pass fuses the
                 # opaque scene, later passes composite over the previous
                 # color using the carried linear depth
+                import jax.numpy as jnp
+
                 n_layers = len(params)
                 out = render_frame_pallas(params[0], configs[0], camera,
                                           self.opaque, height, width,
                                           block=(32, 128),
                                           want_depth=n_layers > 1)
+                alpha = out["alpha"]
                 for i, (p, c) in enumerate(zip(params[1:], configs[1:])):
                     out = render_frame_pallas(
                         p, c, camera, None, height, width, block=(32, 128),
                         background=(out["color"], out["linear_depth"]),
                         want_depth=i < n_layers - 2)
+                    # match the XLA path's alpha semantics: max over layers
+                    alpha = jnp.maximum(alpha, out["alpha"])
+                out["alpha"] = alpha
                 return out
             if renderer == "pallas":
                 raise ValueError(

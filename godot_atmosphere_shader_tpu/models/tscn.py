@@ -110,8 +110,29 @@ _NOISE_TYPES = {0: "simplex", 1: "simplex_smooth", 2: "cellular",
 _FRACTAL_TYPES = {0: "none", 1: "fbm", 2: "ridged", 3: "ping_pong"}
 
 
-def _noise_spec_from(props: dict) -> NoiseSpec:
+#: Godot cellular return-type enum → our return kinds (supported subset)
+_CELLULAR_RETURNS = {0: "cell_value", 1: "distance", 2: "distance2"}
+
+#: FastNoiseLite properties the importer consumes; anything else on the
+#: resource is reported in ImportResult.skipped rather than dropped silently
+_KNOWN_NOISE_KEYS = frozenset({
+    "_type", "type", "id", "noise_type", "seed", "frequency", "fractal_type",
+    "fractal_octaves", "fractal_lacunarity", "fractal_gain",
+    "fractal_ping_pong_strength", "fractal_weighted_strength",
+    "cellular_jitter", "cellular_return_type",
+    "domain_warp_enabled", "domain_warp_amplitude", "domain_warp_frequency",
+    "domain_warp_fractal_octaves", "domain_warp_fractal_gain",
+    "domain_warp_fractal_lacunarity",
+})
+
+
+def _noise_spec_from(props: dict, notes=None) -> NoiseSpec:
     """FastNoiseLite sub-resource → NoiseSpec (Godot defaults where unset)."""
+    if notes is not None:
+        for key in props:
+            if key not in _KNOWN_NOISE_KEYS:
+                notes.append(f"FastNoiseLite {props.get('id', '?')}: "
+                             f"property {key!r} not mapped")
     warp = bool(props.get("domain_warp_enabled", False))
     return NoiseSpec(
         noise_type=_NOISE_TYPES.get(int(props.get("noise_type", 1)),
@@ -124,6 +145,10 @@ def _noise_spec_from(props: dict) -> NoiseSpec:
         lacunarity=float(props.get("fractal_lacunarity", 2.0)),
         gain=float(props.get("fractal_gain", 0.5)),
         ping_pong_strength=float(props.get("fractal_ping_pong_strength", 2.0)),
+        weighted_strength=float(props.get("fractal_weighted_strength", 0.0)),
+        cellular_jitter=float(props.get("cellular_jitter", 1.0)),
+        cellular_return=_CELLULAR_RETURNS.get(
+            int(props.get("cellular_return_type", 1)), "distance"),
         warp_enabled=warp,
         warp_amplitude=float(props.get("domain_warp_amplitude", 30.0)),
         warp_frequency=float(props.get("domain_warp_frequency", 0.05)),
@@ -229,7 +254,7 @@ def load_tscn(path: str, procedural: bool = True,
         if inst is not None and str(inst.get("path", "")).endswith(
                 "planet_atmosphere.tscn"):
             atmo = _build_atmosphere(s, deref, procedural, shape_texture_size,
-                                     mat)
+                                     mat, skipped)
             sp = s.get("sun_path")
             if sp is not None:
                 target = resolve_path(path, sp)
@@ -285,8 +310,8 @@ def load_tscn(path: str, procedural: bool = True,
 
 
 def _build_atmosphere(node: dict, deref, procedural: bool,
-                      shape_texture_size: int, mat: np.ndarray
-                      ) -> PlanetAtmosphere:
+                      shape_texture_size: int, mat: np.ndarray,
+                      notes=None) -> PlanetAtmosphere:
     variant = "no_clouds"
     shader = deref(node.get("custom_shader"))
     if shader is not None:
@@ -306,11 +331,11 @@ def _build_atmosphere(node: dict, deref, procedural: bool,
         if key.endswith("u_cloud_shape_texture"):
             noise = deref(res.get("noise"))
             if noise is not None:
-                shape_spec = _noise_spec_from(noise)
+                shape_spec = _noise_spec_from(noise, notes)
         elif key.endswith("u_cloud_coverage_cubemap"):
             noise = deref(res.get("noise"))
             if noise is not None:
-                coverage_spec = _noise_spec_from(noise)
+                coverage_spec = _noise_spec_from(noise, notes)
             sc = res.get("scale")
             if isinstance(sc, tuple):
                 coverage_scale = tuple(sc[1])

@@ -112,7 +112,11 @@ def get_light_cheap(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, alpha,
     dp2 = dp * dp
     dp4 = dp2 * dp2
     dp8 = dp4 * dp4
-    glow = jnp.maximum(dp8 * dp8, 0.0)
+    # reference: max(pow(dp, 16.0), 0.0) — GLSL pow with a negative base is
+    # undefined/NaN, which the max clamps to 0 in practice, so the glow only
+    # exists looking TOWARD the sun; an even-power expansion must gate on the
+    # sign or an anti-solar halo appears
+    glow = jnp.where(dp > 0.0, dp8 * dp8, 0.0)
     return height_ratio + glow * (1.0 - alpha)
 
 
@@ -322,13 +326,17 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
         cov1 = raw_coverage(ro_model + rd_model * t_end_m, params, coverage_fn)
         coverage_endpoints = (cov0, cov1)
         if cull:
-            # conservative per-pixel density bound: with shape ≤ 1, detail
-            # fixed at 0.5 in low mode and height_curve ≤ 1, density can only
-            # be nonzero where the (lerped) coverage clears this threshold —
-            # tiles of cloud-free sky then skip the march entirely
+            # conservative per-pixel density bound: the procedural noise
+            # bases can overshoot [-1, 1] slightly (perlin ×1.15, simplex's
+            # approximate normalization), so bound shape by 1.1 rather than
+            # 1.0; detail is 0.5 in low mode and height_curve ≤ 1.  Density
+            # can only be nonzero where the (lerped) coverage clears this
+            # threshold — tiles of cloud-free sky skip the march entirely.
+            shape_bound = 1.1
             detail_term = 0.1 if always_low else 0.0
             cov_max = jnp.maximum(cov0, cov1) + params.cloud_coverage_bias
-            max_density = (1.0 - detail_term + lerp(-1.2, 1.5, cov_max)) * 50.0 - 20.0
+            max_density = (shape_bound - detail_term
+                           + lerp(-1.2, 1.5, cov_max)) * 50.0 - 20.0
             cull_mask = jnp.logical_and(visible, max_density > 0.0)
 
     def march():

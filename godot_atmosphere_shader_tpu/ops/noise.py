@@ -369,19 +369,29 @@ def _fractal(spec: NoiseSpec, x, y, z):
 
     total = jnp.zeros_like(x)
     amp = bounding
+    ws = spec.weighted_strength
     fx, fy, fz = x, y, z
     for o in range(spec.octaves):
         n = _eval_base(spec, fx, fy, fz, seed_offset=o)
+        # weighted_strength follows FastNoiseLite: each octave's amplitude is
+        # additionally scaled by a value-dependent weight (skipped entirely
+        # when 0 — the common case — to keep the hot path lean)
         if spec.fractal_type == "fbm":
             total = total + n * amp
+            if ws:
+                amp = amp * (1.0 + (jnp.minimum(n + 1.0, 2.0) * 0.5 - 1.0) * ws)
         elif spec.fractal_type == "ridged":
             n = jnp.abs(n)
             total = total + (n * -2.0 + 1.0) * amp
+            if ws:
+                amp = amp * (1.0 + ((1.0 - n) - 1.0) * ws)
         elif spec.fractal_type == "ping_pong":
             t = (n + 1.0) * spec.ping_pong_strength
             t = t - jnp.floor(t * 0.5) * 2.0
             t = jnp.where(t < 1.0, t, 2.0 - t)
             total = total + (t - 0.5) * 2.0 * amp
+            if ws:
+                amp = amp * (1.0 + (t - 1.0) * ws)
         else:
             raise ValueError(f"unknown fractal_type {spec.fractal_type}")
         fx = fx * spec.lacunarity

@@ -429,10 +429,11 @@ def render_band_pallas(params: AtmosphereParams, config: VariantConfig,
     """
     _check_config(config)
     bh, bw = block
-    full = jnp.tile(jnp.asarray(blue_noise_256()),
-                    (-(-height // 256), -(-width // 256)))[:height, :width]
+    from ...render.jitter import jitter_plane
+
     jitter_band = jax.lax.dynamic_slice(
-        full, (jnp.asarray(row0, jnp.int32), 0), (band_height, width))
+        jitter_plane(height, width),
+        (jnp.asarray(row0, jnp.int32), 0), (band_height, width))
 
     n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0

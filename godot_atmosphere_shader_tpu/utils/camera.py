@@ -46,9 +46,12 @@ class Camera:
         (``/root/reference/addons/zylann.atmosphere/demo/flying_avatar.tscn:11-13``)."""
         if view_to_world is None:
             view_to_world = jnp.eye(4, dtype=jnp.float32)
+        # always degrees in — converting only for python floats would turn a
+        # np.float32 argument into silent radians (unit change keyed on type)
+        fov_y_rad = jnp.deg2rad(jnp.asarray(fov_y_deg, jnp.float32))
         return Camera(
             view_to_world=jnp.asarray(view_to_world, jnp.float32),
-            fov_y_rad=jnp.asarray(math.radians(fov_y_deg) if isinstance(fov_y_deg, (int, float)) else fov_y_deg, jnp.float32),
+            fov_y_rad=fov_y_rad,
             near=jnp.asarray(near, jnp.float32),
             far=jnp.asarray(far, jnp.float32),
         )

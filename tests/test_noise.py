@@ -127,3 +127,17 @@ def test_simplex_continuity():
         worst = max(worst, abs(a - b))
     # |∇simplex| is bounded (~8 for unit-amplitude); eps·bound ≈ 1e-3
     assert worst < 5e-3, worst
+
+
+def test_weighted_strength_changes_fractal():
+    x, y, z = _grid(scale=100.0)
+    for ft in ("fbm", "ridged", "ping_pong"):
+        base = NoiseSpec(noise_type="value", frequency=0.05, fractal_type=ft,
+                         octaves=4)
+        weighted = NoiseSpec(noise_type="value", frequency=0.05,
+                             fractal_type=ft, octaves=4, weighted_strength=0.7)
+        a = np.asarray(sample_noise3(base, x, y, z))
+        b = np.asarray(sample_noise3(weighted, x, y, z))
+        assert np.isfinite(b).all()
+        assert np.abs(a - b).max() > 1e-4, ft
+        assert np.abs(b).max() <= 1.6

@@ -164,3 +164,27 @@ def test_import_reference_demo_scene():
     radii = sorted(float(r) for r in result.scene.opaque.sphere_radii)
     assert radii == [10.0, 20.0, 100.0]
     assert result.scene.opaque.box_world_to_box.shape[0] == 1
+
+
+def test_unmapped_noise_properties_noted(tmp_path):
+    text = FIXTURE.replace(
+        "[sub_resource type=\"FastNoiseLite\" id=\"cov_noise\"]",
+        "[sub_resource type=\"FastNoiseLite\" id=\"cov_noise\"]\noffset = Vector3(1, 2, 3)")
+    p = tmp_path / "s.tscn"
+    p.write_text(text)
+    result = load_tscn(str(p))
+    assert any("offset" in s and "not mapped" in s for s in result.skipped)
+
+
+def test_cellular_and_weighted_parsed(tmp_path):
+    text = FIXTURE.replace(
+        "fractal_gain = 0.7",
+        "fractal_gain = 0.7\nfractal_weighted_strength = 0.4\n"
+        "cellular_return_type = 2\ncellular_jitter = 0.6")
+    p = tmp_path / "s.tscn"
+    p.write_text(text)
+    atmo = load_tscn(str(p)).scene.atmospheres[0]
+    spec = atmo.config.cloud_shape_noise.noise
+    assert spec.weighted_strength == 0.4
+    assert spec.cellular_return == "distance2"
+    assert spec.cellular_jitter == 0.6

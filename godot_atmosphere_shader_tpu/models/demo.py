@@ -47,7 +47,10 @@ SHAPE_NOISE_FAST = NoiseSpec(noise_type="value", frequency=0.1,
 #: demo NoiseCubemap source (planet_atmosphere_test.tscn:59-69):
 #: default FastNoiseLite with domain warp (amp 90, freq 0.01, 3 octaves),
 #: cubemap scale (100, 200, 100).
+#: The demo resource only overrides the warp parameters, so it keeps Godot's
+#: default FBM fractal (5 octaves) on the base noise.
 COVERAGE_NOISE = NoiseSpec(noise_type="simplex_smooth", frequency=0.01,
+                           fractal_type="fbm", octaves=5,
                            warp_enabled=True, warp_amplitude=90.0,
                            warp_frequency=0.01, warp_octaves=3, seed=11)
 COVERAGE_SCALE = (100.0, 200.0, 100.0)

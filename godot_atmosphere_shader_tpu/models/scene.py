@@ -206,7 +206,14 @@ class PlanetAtmosphere(Node3D):
                 return fs[19:23].reshape(2, 2)
             if field == "time":
                 return fs[23]
-        return getattr(self._params, field)
+        value = getattr(self._params, field)
+        if param_name in _COLOR_PARAMS and value is not None:
+            # mirror Godot's set/get round-trip: values go in and come out
+            # as sRGB even though the renderer stores linear
+            from ..utils.color import linear_to_srgb
+
+            return linear_to_srgb(value)
+        return value
 
     def get_shader_param(self, param_name: str):
         import warnings

@@ -75,17 +75,33 @@ def atmosphere_from_dict(d: dict) -> PlanetAtmosphere:
         transform=np.asarray(d["transform"], np.float32),
     )
     for uname, value in d.get("shader_params", {}).items():
-        field = _UNIFORM_TO_FIELD[uname]
-        # values were serialized post-conversion (linear); write raw
-        import jax.numpy as jnp
-
-        atmo._params = dataclasses.replace(
-            atmo._params, **{field: jnp.asarray(value, jnp.float32)})
+        # set_shader_parameter applies the same sRGB→linear conversion the
+        # values were serialized with (get returns sRGB for color params)
+        atmo.set_shader_parameter(uname, value)
     return atmo
+
+
+def opaque_to_dict(op) -> dict:
+    return {k: np.asarray(getattr(op, k)).tolist()
+            for k in ("sphere_centers", "sphere_radii", "sphere_albedos",
+                      "sphere_unshaded", "box_world_to_box", "box_half_sizes",
+                      "box_albedos", "light_dir", "ambient", "sky_color",
+                      "star_intensity")}
+
+
+def opaque_from_dict(d: dict):
+    import jax.numpy as jnp
+
+    from ..render.opaque import OpaqueScene
+
+    return OpaqueScene(**{k: jnp.asarray(v, jnp.float32)
+                          for k, v in d.items()})
 
 
 def save_scene(scene: Scene, path: str) -> None:
     doc = {"atmospheres": [atmosphere_to_dict(a) for a in scene.atmospheres]}
+    if scene.opaque is not None:
+        doc["opaque"] = opaque_to_dict(scene.opaque)
     with open(path, "w") as f:
         json.dump(doc, f, indent=2)
 
@@ -93,5 +109,7 @@ def save_scene(scene: Scene, path: str) -> None:
 def load_scene(path: str) -> Scene:
     with open(path) as f:
         doc = json.load(f)
+    opaque = opaque_from_dict(doc["opaque"]) if "opaque" in doc else None
     return Scene(atmospheres=[atmosphere_from_dict(d)
-                              for d in doc["atmospheres"]])
+                              for d in doc["atmospheres"]],
+                 opaque=opaque)

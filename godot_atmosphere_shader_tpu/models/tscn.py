@@ -280,7 +280,13 @@ def load_tscn(path: str, procedural: bool = True,
                 if mat_res is not None:
                     col = mat_res.get("albedo_color")
                     if isinstance(col, tuple):
-                        albedo = tuple(col[1][:3])
+                        # albedo_color is sRGB in Godot; the renderer is linear
+                        from ..utils.color import srgb_to_linear
+
+                        albedo = tuple(
+                            float(v) for v in np.asarray(
+                                srgb_to_linear(np.asarray(col[1][:3],
+                                                          np.float32))))
                     if int(mat_res.get("shading_mode", 1)) == 0:
                         unshaded = 1.0
                 spheres.append((tuple(mat[:3, 3]), radius, albedo, unshaded))
@@ -321,6 +327,7 @@ def _build_atmosphere(node: dict, deref, procedural: bool,
     shape_spec = None
     coverage_spec = None
     coverage_scale = (100.0, 100.0, 100.0)
+    coverage_resolution = 256
     textures = {}
     for key, value in node.items():
         if not key.startswith("shader_params/"):
@@ -339,6 +346,7 @@ def _build_atmosphere(node: dict, deref, procedural: bool,
             sc = res.get("scale")
             if isinstance(sc, tuple):
                 coverage_scale = tuple(sc[1])
+            coverage_resolution = int(res.get("resolution", 256))
 
     if cfg.clouds_enabled:
         if procedural and shape_spec is not None and coverage_spec is not None:
@@ -356,7 +364,7 @@ def _build_atmosphere(node: dict, deref, procedural: bool,
             textures["u_cloud_shape_texture"] = bake_noise_texture3d(
                 shape_spec, shape_texture_size)
             textures["u_cloud_coverage_cubemap"] = bake_noise_cubemap(
-                coverage_spec, coverage_scale, 256)
+                coverage_spec, coverage_scale, coverage_resolution)
 
     atmo = PlanetAtmosphere(
         planet_radius=float(node.get("planet_radius", 1.0)),
@@ -367,17 +375,23 @@ def _build_atmosphere(node: dict, deref, procedural: bool,
         transform=mat,
         name=str(node.get("name", "PlanetAtmosphere")),
     )
-    # scalar/color shader params
+    # scalar/color shader params; unknown names (custom-shader uniforms we
+    # don't model) are noted, not fatal
     for key, value in node.items():
         if not key.startswith("shader_params/"):
             continue
         uname = key[len("shader_params/"):]
-        if isinstance(value, tuple):
-            if value[0] in ("Color", "Vector3"):
-                atmo.set_shader_parameter(uname, value[1][:3])
-            # resources handled above
-        elif isinstance(value, (int, float, bool)):
-            atmo.set_shader_parameter(uname, float(value))
+        try:
+            if isinstance(value, tuple):
+                if value[0] in ("Color", "Vector3"):
+                    atmo.set_shader_parameter(uname, value[1][:3])
+                # resources handled above
+            elif isinstance(value, (int, float, bool)):
+                atmo.set_shader_parameter(uname, float(value))
+        except KeyError:
+            if notes is not None:
+                notes.append(f"node {node.get('name', '?')}: "
+                             f"shader param {uname!r} not mapped")
     for uname, tex in textures.items():
         atmo.set_shader_parameter(uname, tex)
     return atmo

@@ -328,11 +328,12 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
         if cull:
             # conservative per-pixel density bound: the procedural noise
             # bases can overshoot [-1, 1] slightly (perlin ×1.15, simplex's
-            # approximate normalization), so bound shape by 1.1 rather than
-            # 1.0; detail is 0.5 in low mode and height_curve ≤ 1.  Density
-            # can only be nonzero where the (lerped) coverage clears this
+            # approximate normalization), so shape = lerp(0.5, s, factor) is
+            # bounded by 0.5 + 0.575·|factor| (also valid under invert);
+            # detail is 0.5 in low mode and height_curve ≤ 1.  Density can
+            # only be nonzero where the (lerped) coverage clears this
             # threshold — tiles of cloud-free sky skip the march entirely.
-            shape_bound = 1.1
+            shape_bound = 0.5 + 0.575 * jnp.abs(params.cloud_shape_factor)
             detail_term = 0.1 if always_low else 0.0
             cov_max = jnp.maximum(cov0, cov1) + params.cloud_coverage_bias
             max_density = (shape_bound - detail_term

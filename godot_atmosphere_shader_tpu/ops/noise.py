@@ -328,8 +328,8 @@ class NoiseSpec:
     noise_type: str = "simplex_smooth"  # value|perlin|simplex|simplex_smooth|cellular
     seed: int = 0
     frequency: float = 0.01  # FastNoiseLite default
-    # fractal
-    fractal_type: str = "none"  # none|fbm|ridged|ping_pong
+    # fractal — Godot's FastNoiseLite defaults to FBM with 5 octaves
+    fractal_type: str = "fbm"  # none|fbm|ridged|ping_pong
     octaves: int = 5
     lacunarity: float = 2.0
     gain: float = 0.5
@@ -338,12 +338,12 @@ class NoiseSpec:
     # cellular extras
     cellular_jitter: float = 1.0
     cellular_return: str = "distance"
-    # domain warp (applied before the noise proper)
+    # domain warp (applied before the noise proper; Godot defaults)
     warp_enabled: bool = False
     warp_amplitude: float = 30.0
-    warp_frequency: float = 0.005
-    warp_octaves: int = 1
-    warp_lacunarity: float = 2.0
+    warp_frequency: float = 0.05
+    warp_octaves: int = 5
+    warp_lacunarity: float = 6.0
     warp_gain: float = 0.5
 
 

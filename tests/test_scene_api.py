@@ -32,8 +32,12 @@ def test_shader_parameter_names_and_defaults():
 def test_source_color_params_convert_srgb():
     atmo = PlanetAtmosphere()
     atmo.set_shader_parameter("u_atmosphere_modulate", (0.5, 0.5, 0.5))
-    stored = np.asarray(atmo.get_shader_parameter("u_atmosphere_modulate"))
+    # stored linear internally...
+    stored = np.asarray(atmo._params.atmosphere_modulate)
     assert stored[0] == pytest.approx(0.2140411, rel=1e-4)  # srgb 0.5 → linear
+    # ...but the get/set surface round-trips in sRGB like Godot's
+    got = np.asarray(atmo.get_shader_parameter("u_atmosphere_modulate"))
+    assert got[0] == pytest.approx(0.5, rel=1e-4)
     # non-color params stay raw
     atmo.set_shader_parameter("u_density", 0.5)
     assert float(atmo.get_shader_parameter("u_density")) == 0.5

@@ -33,6 +33,13 @@ def test_scene_file_roundtrip(tmp_path):
     a0, a1 = scene.atmospheres[0], back.atmospheres[0]
     assert a0.config == a1.config
     np.testing.assert_allclose(a1.transform, a0.transform)
+    # opaque geometry round-trips too (ground/sun/moon/box + lighting)
+    np.testing.assert_allclose(np.asarray(back.opaque.sphere_centers),
+                               np.asarray(scene.opaque.sphere_centers))
+    np.testing.assert_allclose(np.asarray(back.opaque.box_half_sizes),
+                               np.asarray(scene.opaque.box_half_sizes))
+    np.testing.assert_allclose(float(back.opaque.star_intensity),
+                               float(scene.opaque.star_intensity))
 
 
 def test_textures_not_serialized():

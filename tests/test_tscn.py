@@ -101,9 +101,11 @@ def test_import_atmosphere_params(fixture_path):
     assert float(atmo.get_shader_parameter("u_density")) == pytest.approx(0.7)
     assert float(atmo.get_shader_parameter("u_scattering_strength")) == 1.5
     assert float(atmo.get_shader_parameter("u_cloud_top")) == pytest.approx(0.55)
-    # color converted sRGB→linear
+    # color converted sRGB→linear internally; get round-trips sRGB
+    mod_lin = np.asarray(atmo._params.atmosphere_modulate)
+    assert mod_lin[0] == pytest.approx(1.0) and mod_lin[1] < 0.9
     mod = np.asarray(atmo.get_shader_parameter("u_atmosphere_modulate"))
-    assert mod[0] == pytest.approx(1.0) and mod[1] < 0.9
+    assert mod[1] == pytest.approx(0.9, rel=1e-4)
     # variant from the shader file name
     assert atmo.config.clouds_enabled and atmo.config.cloud_steps == 32
     # procedural specs from the FastNoiseLite sub-resources

@@ -122,12 +122,20 @@ def get_light_cheap(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, alpha,
 
 def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
                          settings: CloudSettings, params,
-                         shape_fn, coverage_fn, always_low: bool):
+                         shape_fn, coverage_fn, always_low: bool,
+                         coverage_value=None):
     """6-step sun march (:104-151), step length ×1.2 growth, reach 0.15·layer.
 
     The reference picks full vs low density per pixel by ``alpha0 < 0.3``;
     with ``CLOUDS_ALWAYS_LOW_QUALITY`` both collapse to low.  When detail is
     live we evaluate both and select — masked lanes, not branches.
+
+    ``coverage_value`` (the view march's interpolated raw coverage) is reused
+    for every sun sample when provided: the whole march reaches only
+    0.15·layer (≈half a world unit in the demo), over which the band-limited
+    coverage field is effectively constant — same trade as coverage
+    ray-interpolation, and it keeps the expensive warped field out of the
+    6×-per-step inner loop.
     """
     steps = 6
     layer = settings.top_height - settings.bottom_height
@@ -145,12 +153,15 @@ def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
         pos = pos0 + sun_dir * (i.astype(jnp.float32) * step_len)
         if always_low:
             density = get_density_full(pos, time, settings, params,
-                                       shape_fn, coverage_fn, True, True)
+                                       shape_fn, coverage_fn, True, True,
+                                       coverage_value=coverage_value)
         else:
             d_full = get_density_full(pos, time, settings, params,
-                                      shape_fn, coverage_fn, False, False)
+                                      shape_fn, coverage_fn, False, False,
+                                      coverage_value=coverage_value)
             d_low = get_density_full(pos, time, settings, params,
-                                     shape_fn, coverage_fn, True, False)
+                                     shape_fn, coverage_fn, True, False,
+                                     coverage_value=coverage_value)
             density = jnp.where(alpha0 < 0.3, d_full, d_low)
         density = density * (step_len * settings.density_scale)
         transmittance = jnp.exp(-density)
@@ -166,12 +177,13 @@ def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
 
 def get_light(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, jitter, alpha, time,
               settings: CloudSettings, params, shape_fn, coverage_fn,
-              raymarched: bool, always_low: bool, pos_len=None):
+              raymarched: bool, always_low: bool, pos_len=None,
+              coverage_value=None):
     """(:153-167): lighting model dispatch + planet shadow ×0.002."""
     if raymarched:
         light = get_light_raymarched(pos, sun_dir, jitter, alpha, time,
                                      settings, params, shape_fn, coverage_fn,
-                                     always_low)
+                                     always_low, coverage_value=coverage_value)
     else:
         light = get_light_cheap(pos, ray_dir, sun_dir, alpha, settings,
                                 pos_len=pos_len)
@@ -240,13 +252,14 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
         pos = start + ray_dir * (fi * step_len)
         pos_len = length(pos)  # shared by lighting, shadow and density
         alpha = 1.0 - prod
-        light = get_light(pos, ray_dir, sun_dir, jitter, alpha, time,
-                          settings, params, shape_fn, coverage_fn,
-                          raymarched_lighting, always_low, pos_len=pos_len)
         coverage_value = None
         if coverage_interp:
             frac = (fi + 0.5) * inv_steps_f
             coverage_value = cov0 + (cov1 - cov0) * frac
+        light = get_light(pos, ray_dir, sun_dir, jitter, alpha, time,
+                          settings, params, shape_fn, coverage_fn,
+                          raymarched_lighting, always_low, pos_len=pos_len,
+                          coverage_value=coverage_value)
         density = get_density_full(pos, time, settings, params,
                                    shape_fn, coverage_fn, False, always_low,
                                    coverage_value=coverage_value,

@@ -287,7 +287,8 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
                   world_to_model, sun_dir: Vec3, jitter, time, params,
                   shape_fn, coverage_fn, steps: int,
                   raymarched_lighting: bool, always_low: bool,
-                  coverage_interp: bool = False, cull: bool = False):
+                  coverage_interp: bool = False, cull: bool = False,
+                  return_raw: bool = False):
     """``render_clouds`` (:249-324) over whole pixel planes.
 
     ``ray_origin``/``ray_dir``/``sun_dir``/``planet_center`` are **world**
@@ -372,12 +373,24 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
     else:
         cloud_light, cloud_alpha = march()
 
+    if return_raw:
+        return cloud_light, cloud_alpha, visible
+
+    return apply_cloud_blend(albedo, alpha, cloud_light, cloud_alpha,
+                             visible, params.cloud_blend)
+
+
+def apply_cloud_blend(albedo: Vec3, alpha, cloud_light, cloud_alpha, visible,
+                      cloud_blend):
+    """Blend the cloud layer over the atmosphere (:296-321): a mix of
+    premultiplied alpha blending and additive blending by ``u_cloud_blend``,
+    with occluded pixels passing the atmosphere through unchanged."""
     cloud_albedo = Vec3(cloud_light, cloud_light, cloud_light)
     blended_rgb, blended_a = blend_colors(albedo, alpha, cloud_albedo, cloud_alpha)
     add_rgb = albedo + cloud_albedo * cloud_alpha
     add_a = jnp.maximum(alpha, cloud_alpha)
 
-    cb = params.cloud_blend
+    cb = cloud_blend
     out_rgb = Vec3(lerp(blended_rgb.x, add_rgb.x, cb),
                    lerp(blended_rgb.y, add_rgb.y, cb),
                    lerp(blended_rgb.z, add_rgb.z, cb))

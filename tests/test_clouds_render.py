@@ -116,3 +116,26 @@ def test_multi_planet_scene():
     out = scene.render(cam, 64, 64)
     img = np.asarray(out["color"])
     assert np.isfinite(img).all() and img.max() > 0.01
+
+
+def test_rm_lighting_without_coverage_interp():
+    """The per-sun-step coverage evaluation branch (coverage_interp off)."""
+    import dataclasses
+
+    from godot_atmosphere_shader_tpu.models.demo import demo_variant
+    from godot_atmosphere_shader_tpu.render.renderer import render_frame
+
+    scene = build_demo_scene(variant="clouds_high_rm", procedural=True)
+    cam = demo_camera("space")
+    scene.update(0.0, cam)
+    atmo = scene.atmospheres[0]
+    cfg_off = dataclasses.replace(atmo.config, cloud_coverage_interp=False)
+    out = render_frame((atmo.build_params(),), (cfg_off,), cam, scene.opaque,
+                       48, 48)
+    img = np.asarray(out["color"])
+    assert np.isfinite(img).all() and img.max() > 0.01
+    # the two coverage strategies must agree closely (short sun march)
+    out2 = render_frame((atmo.build_params(),), (atmo.config,), cam,
+                        scene.opaque, 48, 48)
+    img2 = np.asarray(out2["color"])
+    assert np.abs(img - img2).mean() < 0.02

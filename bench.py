@@ -1,12 +1,21 @@
-"""Benchmark harness: demo scene, scattering + high-quality clouds, 1080p.
+"""Benchmark harness: the five BASELINE.json configs + flagship headline.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N, ...}
+  {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N,
+   "configs": {...all five BASELINE configs...}, ...}
 
 Baseline: >120 Mrays/s at 1920×1080 (BASELINE.md) — the reference demo scene
 at 60 fps equivalent.  Also reports the optical-depth LUT bake latency (the
 reference's bake takes 2 frames of SubViewport round-trip; ours is one fused
 kernel).
+
+Timing methodology (see VERDICT r1 "what's weak" #1): the TPU is reached
+through a shared tunnel with high run-to-run variance (±25% observed on
+single 16-frame passes).  Each config therefore runs REPEATS independent
+passes of FRAMES frames and takes the *minimum* per-frame time — the
+noise is strictly additive (queue contention, tunnel latency), so min
+measures the code.  The spread (max/min) is reported so a noisy run is
+visible in the artifact instead of silently distorting it.
 """
 
 import json
@@ -18,64 +27,70 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-HEIGHT, WIDTH = 1080, 1920
 BASELINE_MRAYS = 120.0
-FRAMES = 64
+FRAMES = 32
+REPEATS = 3
 
 
-def _time_frames(render_fn, scene, cam) -> float:
-    """Steady-state frame throughput.
+def _time_frames(render_fn, scene, cam, frames=FRAMES, repeats=REPEATS):
+    """Steady-state per-frame seconds: min over repeats, plus spread.
 
     Each frame gets fresh per-frame state (coverage rotation, time — as an
     interactive loop would), and the queue is drained by *fetching* a pixel
     of the last frame: on tunneled TPU setups ``block_until_ready`` returns
     on enqueue-ack, so only a device→host fetch proves completion.  The one
-    drain round-trip amortizes over FRAMES.
+    drain round-trip amortizes over ``frames``.
     """
     scene.update(0.0, cam)
     out = render_fn()
     _ = np.asarray(out["color"][0, 0])  # warmup + compile + drain
-    t0 = time.perf_counter()
-    for i in range(FRAMES):
-        scene.update(0.016 * (i + 1), cam)
-        out = render_fn()
-    _ = np.asarray(out["color"][0, 0])
-    return (time.perf_counter() - t0) / FRAMES
+    dts = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(frames):
+            scene.update(0.016 * (r * frames + i + 1), cam)
+            out = render_fn()
+        _ = np.asarray(out["color"][0, 0])
+        dts.append((time.perf_counter() - t0) / frames)
+    return min(dts), max(dts) / min(dts)
 
 
-def bench_all_configs() -> None:
-    """Secondary mode (``python bench.py --all``): per-config lines for the
-    five BASELINE.json benchmark configs."""
+CONFIGS = [
+    ("1", "v1 no-clouds 256x256 exterior", "v1_no_clouds", "exterior", 256, 256, False),
+    ("2", "v2 scattering no-clouds 512x512", "no_clouds", "exterior", 512, 512, False),
+    ("3", "scattering+clouds 1080p", "clouds", "avatar", 1080, 1920, False),
+    ("4", "clouds_high interior 1080p", "clouds_high", "interior", 1080, 1920, False),
+    ("5", "clouds_high_rm multi-planet 1080p", "clouds_high_rm", "space", 1080, 1920, True),
+]
+
+
+def _bench_config(variant, pose, h, w, multi):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene, demo_camera
     from godot_atmosphere_shader_tpu.models.scene import PlanetAtmosphere
 
-    configs = [
-        ("1 v1 no-clouds 256x256 exterior", "v1_no_clouds", "exterior", 256, 256, False),
-        ("2 v2 scattering no-clouds 512x512", "no_clouds", "exterior", 512, 512, False),
-        ("3 scattering+clouds 1080p", "clouds", "avatar", 1080, 1920, False),
-        ("4 clouds_high interior 1080p", "clouds_high", "interior", 1080, 1920, False),
-        ("5 clouds_high_rm multi-planet 1080p", "clouds_high_rm", "space", 1080, 1920, True),
-    ]
-    for label, variant, pose, h, w, multi in configs:
-        scene = build_demo_scene(variant=variant, procedural=True)
-        if multi:
-            scene.atmospheres.append(PlanetAtmosphere(
-                planet_radius=10.0, atmosphere_height=2.0,
-                sun=scene.atmospheres[0].sun, custom_shader="no_clouds",
-                position=(-188.991, 0.0, 192.584)))
-        cam = demo_camera(pose)
-        scene.update(0.0, cam)
-        out = scene.render(cam, h, w)
-        _ = np.asarray(out["color"][0, 0])
-        t0 = time.perf_counter()
-        n = 16
-        for i in range(n):
-            scene.update(0.016 * (i + 1), cam)
-            out = scene.render(cam, h, w)
-        _ = np.asarray(out["color"][0, 0])
-        dt = (time.perf_counter() - t0) / n
-        print(json.dumps({"config": label, "frame_ms": round(dt * 1e3, 2),
-                          "mrays_per_s": round(h * w / dt / 1e6, 2)}))
+    scene = build_demo_scene(variant=variant, procedural=True)
+    if multi:
+        scene.atmospheres.append(PlanetAtmosphere(
+            planet_radius=10.0, atmosphere_height=2.0,
+            sun=scene.atmospheres[0].sun, custom_shader="no_clouds",
+            position=(-188.991, 0.0, 192.584)))
+    cam = demo_camera(pose)
+    dt, spread = _time_frames(lambda: scene.render(cam, h, w), scene, cam)
+    return {"frame_ms": round(dt * 1e3, 2),
+            "mrays_per_s": round(h * w / dt / 1e6, 2),
+            "spread": round(spread, 2)}
+
+
+def bench_all_configs(as_dict=False):
+    """``--all``: one line per config (human-friendly).  Also reused by the
+    default mode to embed the full matrix in the single JSON artifact line."""
+    results = {}
+    for num, label, variant, pose, h, w, multi in CONFIGS:
+        r = _bench_config(variant, pose, h, w, multi)
+        results[num] = dict(r, config=label)
+        if not as_dict:
+            print(json.dumps(dict(config=f"{num} {label}", **r)))
+    return results
 
 
 def main() -> None:
@@ -83,30 +98,30 @@ def main() -> None:
     from godot_atmosphere_shader_tpu.ops.optical_depth import bake_optical_depth
     from godot_atmosphere_shader_tpu.ops.pallas.megakernel import render_frame_pallas
 
+    h, w = 1080, 1920
     scene = build_demo_scene(variant="clouds_high", procedural=True)
     cam = demo_camera("avatar")
     scene.update(0.0, cam)
 
-    dt_xla = _time_frames(lambda: scene.render(cam, HEIGHT, WIDTH,
-                                               renderer="xla"), scene, cam)
+    dt_xla, _ = _time_frames(lambda: scene.render(cam, h, w, renderer="xla"),
+                             scene, cam, frames=16, repeats=2)
 
     atmo = scene.atmospheres[0]
     try:
-        dt_pallas = _time_frames(
+        dt_pallas, _ = _time_frames(
             lambda: render_frame_pallas(atmo.build_params(), atmo.config, cam,
-                                        scene.opaque, HEIGHT, WIDTH,
-                                        block=(32, 128)),
+                                        scene.opaque, h, w, block=(32, 128)),
             scene, cam)
     except Exception:
         dt_pallas = float("inf")
 
     dt = min(dt_xla, dt_pallas)
     path = "xla" if dt_xla <= dt_pallas else "pallas"
-    mrays = HEIGHT * WIDTH / dt / 1e6
+    mrays = h * w / dt / 1e6
 
     # LUT bake latency (256², 64 steps) — drain-fetched, varying density so
     # each call really bakes
-    bake = jax.jit(lambda r, h, d: bake_optical_depth(r, h, d))
+    bake = jax.jit(lambda r, hh, d: bake_optical_depth(r, hh, d))
     _ = np.asarray(bake(100.0, 8.0, 0.5)[0, 0])
     tb = time.perf_counter()
     n_bakes = 10
@@ -114,6 +129,8 @@ def main() -> None:
         lut = bake(100.0, 8.0, 0.5 + 0.001 * i)
     _ = np.asarray(lut[0, 0])
     bake_ms = (time.perf_counter() - tb) / n_bakes * 1e3
+
+    configs = bench_all_configs(as_dict=True)
 
     print(json.dumps({
         "metric": "demo scene scattering+clouds_high raymarch at 1080p",
@@ -126,6 +143,7 @@ def main() -> None:
         "pallas_ms": (None if dt_pallas == float("inf")
                       else round(dt_pallas * 1e3, 2)),
         "lut_bake_ms": round(bake_ms, 3),
+        "configs": configs,
         "device": str(jax.devices()[0]),
     }))
 

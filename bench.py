@@ -56,15 +56,16 @@ def _time_frames(render_fn, scene, cam, frames=FRAMES, repeats=REPEATS):
 
 
 CONFIGS = [
-    ("1", "v1 no-clouds 256x256 exterior", "v1_no_clouds", "exterior", 256, 256, False),
-    ("2", "v2 scattering no-clouds 512x512", "no_clouds", "exterior", 512, 512, False),
-    ("3", "scattering+clouds 1080p", "clouds", "avatar", 1080, 1920, False),
-    ("4", "clouds_high interior 1080p", "clouds_high", "interior", 1080, 1920, False),
-    ("5", "clouds_high_rm multi-planet 1080p", "clouds_high_rm", "space", 1080, 1920, True),
+    # (num, label, variant, pose, h, w, multi-planet, also-bench-flight-mode)
+    ("1", "v1 no-clouds 256x256 exterior", "v1_no_clouds", "exterior", 256, 256, False, True),
+    ("2", "v2 scattering no-clouds 512x512", "no_clouds", "exterior", 512, 512, False, True),
+    ("3", "scattering+clouds 1080p", "clouds", "avatar", 1080, 1920, False, False),
+    ("4", "clouds_high interior 1080p", "clouds_high", "interior", 1080, 1920, False, False),
+    ("5", "clouds_high_rm multi-planet 1080p", "clouds_high_rm", "space", 1080, 1920, True, False),
 ]
 
 
-def _bench_config(variant, pose, h, w, multi):
+def _bench_config(variant, pose, h, w, multi, flight):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene, demo_camera
     from godot_atmosphere_shader_tpu.models.scene import PlanetAtmosphere
 
@@ -76,17 +77,34 @@ def _bench_config(variant, pose, h, w, multi):
             position=(-188.991, 0.0, 192.584)))
     cam = demo_camera(pose)
     dt, spread = _time_frames(lambda: scene.render(cam, h, w), scene, cam)
-    return {"frame_ms": round(dt * 1e3, 2),
-            "mrays_per_s": round(h * w / dt / 1e6, 2),
-            "spread": round(spread, 2)}
+    out = {"frame_ms": round(dt * 1e3, 2),
+           "mrays_per_s": round(h * w / dt / 1e6, 2),
+           "spread": round(spread, 2)}
+    if flight:
+        # small frames are dispatch-overhead-bound interactively; the
+        # in-graph frame loop (Scene.render_flight) measures true device
+        # throughput for animation/flight rendering
+        times = [0.016 * (i + 1) for i in range(FRAMES)]
+        f = scene.render_flight(cam, times, h, w)
+        _ = np.asarray(f["color"][0, 0, 0])  # compile + drain
+        best = float("inf")
+        for r in range(REPEATS):
+            t0 = time.perf_counter()
+            f = scene.render_flight(cam, [t + 0.6 * (r + 1) for t in times],
+                                    h, w)
+            _ = np.asarray(f["color"][0, 0, 0])
+            best = min(best, (time.perf_counter() - t0) / FRAMES)
+        out["flight_frame_ms"] = round(best * 1e3, 2)
+        out["flight_mrays_per_s"] = round(h * w / best / 1e6, 2)
+    return out
 
 
 def bench_all_configs(as_dict=False):
     """``--all``: one line per config (human-friendly).  Also reused by the
     default mode to embed the full matrix in the single JSON artifact line."""
     results = {}
-    for num, label, variant, pose, h, w, multi in CONFIGS:
-        r = _bench_config(variant, pose, h, w, multi)
+    for num, label, variant, pose, h, w, multi, flight in CONFIGS:
+        r = _bench_config(variant, pose, h, w, multi, flight)
         results[num] = dict(r, config=label)
         if not as_dict:
             print(json.dumps(dict(config=f"{num} {label}", **r)))

@@ -277,10 +277,11 @@ class PlanetAtmosphere(Node3D):
         c, s = math.cos(angle), math.sin(angle)
         # Transform2D().rotated(a) acts as [[c, -s], [s, c]] on xz (:338-341)
         rot = np.array([[c, -s], [s, c]], np.float32)
-        # one packed upload per frame instead of four separate transfers
+        # one packed upload per frame instead of four separate transfers;
+        # kept as numpy so the transfer rides the next jit call instead of
+        # costing its own eager dispatch
         fs = AtmosphereParams.pack_frame_state(sun_pos, w2m, rot, time_s)
-        self._params = dataclasses.replace(
-            self._params, frame_state=jnp.asarray(fs))
+        self._params = dataclasses.replace(self._params, frame_state=fs)
 
     # -- param building -------------------------------------------------------
 
@@ -339,47 +340,81 @@ class Scene:
         nonlinear ``depth`` buffer, the pallas path ``linear_depth`` when a
         chained pass produced it.
         """
-        cam_pos, _ = self._cam_info(camera)
-        order = sorted(self.atmospheres,
-                       key=lambda a: -float(np.linalg.norm(a.position - cam_pos)))
-        params = tuple(a.build_params() for a in order)
-        configs = tuple(a.config for a in order)
+        order, params, configs = self._sorted_layers(camera)
 
         if renderer != "xla":
-            import jax
+            if self._pallas_eligible(configs):
+                from ..ops.pallas.megakernel import render_scene_pallas
 
-            eligible = (jax.default_backend() == "tpu" and len(order) >= 1
-                        and all(c.od_mode == "analytic"
-                                and (not c.clouds_enabled
-                                     or (c.cloud_shape_noise is not None
-                                         and c.cloud_coverage_noise is not None))
-                                for c in configs))
-            if eligible:
-                from ..ops.pallas.megakernel import render_frame_pallas
-
-                # one megakernel pass per atmosphere, chained far→near like
-                # Godot's transparent-pass sorting: the first pass fuses the
-                # opaque scene, later passes composite over the previous
-                # color using the carried linear depth
-                import jax.numpy as jnp
-
-                n_layers = len(params)
-                out = render_frame_pallas(params[0], configs[0], camera,
-                                          self.opaque, height, width,
-                                          block=(32, 128),
-                                          want_depth=n_layers > 1)
-                alpha = out["alpha"]
-                for i, (p, c) in enumerate(zip(params[1:], configs[1:])):
-                    out = render_frame_pallas(
-                        p, c, camera, None, height, width, block=(32, 128),
-                        background=(out["color"], out["linear_depth"]),
-                        want_depth=i < n_layers - 2)
-                    # match the XLA path's alpha semantics: max over layers
-                    alpha = jnp.maximum(alpha, out["alpha"])
-                out["alpha"] = alpha
-                return out
+                # the whole far→near chain (opaque fuse + every atmosphere
+                # layer) traces into ONE jit = one device dispatch per frame
+                return render_scene_pallas(params, configs, camera,
+                                           self.opaque, height, width)
             if renderer == "pallas":
                 raise ValueError(
                     "pallas renderer needs analytic optical depth and "
                     "procedural cloud fields (and a TPU backend)")
         return render_frame(params, configs, camera, self.opaque, height, width)
+
+    def _sorted_layers(self, camera: Camera):
+        cam_pos, _ = self._cam_info(camera)
+        order = sorted(self.atmospheres,
+                       key=lambda a: -float(np.linalg.norm(a.position - cam_pos)))
+        return (order, tuple(a.build_params() for a in order),
+                tuple(a.config for a in order))
+
+    @staticmethod
+    def _pallas_eligible(configs) -> bool:
+        import jax
+
+        return (jax.default_backend() == "tpu" and len(configs) >= 1
+                and all(c.od_mode == "analytic"
+                        and (not c.clouds_enabled
+                             or (c.cloud_shape_noise is not None
+                                 and c.cloud_coverage_noise is not None))
+                        for c in configs))
+
+    def render_flight(self, camera: Camera, times, height: int, width: int,
+                      cam_transforms=None, renderer: str = "auto",
+                      interpret: bool = False):
+        """Render K frames in ONE device dispatch (in-graph ``lax.map``).
+
+        The animation/flight-path fast mode: per-frame host dispatch
+        overhead — which dominates frame time at small resolutions — is
+        paid once for the whole sequence, like replaying a pre-recorded
+        command buffer.  ``times`` is a (K,) sequence of scene times;
+        ``cam_transforms`` an optional (K, 4, 4) stack of per-frame camera
+        ``view_to_world`` transforms (a fly path).  Returns
+        ``color (K, H, W, 3)`` and ``alpha (K, H, W)``.
+        """
+        times = np.asarray(times, np.float32)
+        cam_pos, cam_near = self._cam_info(camera)  # ONE device fetch
+        order, params, configs = self._sorted_layers(camera)
+        # per-frame packed state per layer, built host-side in one numpy pass
+        fs_stacks = []
+        for atmo in order:
+            rows = []
+            for i, t in enumerate(times):
+                cp = (np.asarray(cam_transforms[i], np.float32)[:3, 3]
+                      if cam_transforms is not None else cam_pos)
+                atmo.update(float(t), cam_near=cam_near, cam_pos=cp)
+                rows.append(np.asarray(atmo._params.frame_state))
+            fs_stacks.append(np.stack(rows))
+        params = tuple(dataclasses.replace(p, frame_state=None) for p in params)
+
+        if renderer != "xla" and (interpret or self._pallas_eligible(configs)):
+            from ..ops.pallas.megakernel import render_flight_pallas
+
+            return render_flight_pallas(params, tuple(fs_stacks), configs,
+                                        camera, self.opaque, height, width,
+                                        cam_stack=cam_transforms,
+                                        interpret=interpret)
+        if renderer == "pallas":
+            raise ValueError(
+                "pallas renderer needs analytic optical depth and "
+                "procedural cloud fields (and a TPU backend)")
+        from ..render.renderer import render_flight_xla
+
+        return render_flight_xla(params, tuple(fs_stacks), configs, camera,
+                                 self.opaque, height, width,
+                                 cam_stack=cam_transforms)

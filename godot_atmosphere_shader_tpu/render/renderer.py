@@ -75,3 +75,32 @@ def render_frame(atmospheres, configs, camera, opaque, height: int, width: int):
         configs = (configs,)
     return _render_jit(tuple(atmospheres), tuple(configs), camera, opaque,
                        height, width)
+
+
+@functools.partial(jax.jit, static_argnames=("configs", "height", "width"))
+def _render_flight_jit(atmospheres, fs_stacks, cam_stack, camera, opaque,
+                       configs, height, width):
+    import dataclasses
+
+    def one_frame(per_frame):
+        fss, vtw = per_frame
+        ps = tuple(dataclasses.replace(p, frame_state=fs)
+                   for p, fs in zip(atmospheres, fss))
+        cam = dataclasses.replace(camera, view_to_world=vtw)
+        out = render_frame_impl(ps, configs, cam, opaque, height, width)
+        return out["color"], out["alpha"]
+
+    colors, alphas = jax.lax.map(one_frame, (fs_stacks, cam_stack))
+    return {"color": colors, "alpha": alphas}
+
+
+def render_flight_xla(atmospheres, fs_stacks, configs, camera, opaque,
+                      height: int, width: int, cam_stack=None) -> dict:
+    """K frames in one dispatch via an in-graph ``lax.map`` (the XLA-path
+    twin of ``megakernel.render_flight_pallas``; see Scene.render_flight)."""
+    if cam_stack is None:
+        k = int(fs_stacks[0].shape[0])
+        cam_stack = jnp.broadcast_to(camera.view_to_world, (k, 4, 4))
+    return _render_flight_jit(tuple(atmospheres), tuple(fs_stacks),
+                              jnp.asarray(cam_stack, jnp.float32), camera,
+                              opaque, tuple(configs), height, width)

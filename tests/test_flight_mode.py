@@ -1,0 +1,80 @@
+"""Flight mode: K frames rendered in one dispatch must match K per-frame
+renders exactly (same traced math, only the dispatch granularity differs).
+
+This is the VERDICT r1 #9 mitigation for the small-frame dispatch floor —
+the in-graph ``lax.map`` frame loop.
+"""
+
+import numpy as np
+import pytest
+
+from godot_atmosphere_shader_tpu.models.demo import build_demo_scene, demo_camera
+
+H, W = 48, 64
+TIMES = [0.0, 0.7, 1.4]
+
+
+def _per_frame_reference(scene, cam, renderer):
+    frames = []
+    for t in TIMES:
+        scene.update(t, cam)
+        out = scene.render(cam, H, W, renderer=renderer)
+        frames.append(np.asarray(out["color"]))
+    return np.stack(frames)
+
+
+def test_flight_matches_per_frame_xla():
+    scene = build_demo_scene(variant="clouds", procedural=True)
+    cam = demo_camera("space")
+    out = scene.render_flight(cam, TIMES, H, W, renderer="xla")
+    assert out["color"].shape == (len(TIMES), H, W, 3)
+    assert out["alpha"].shape == (len(TIMES), H, W)
+    ref = _per_frame_reference(scene, cam, "xla")
+    np.testing.assert_allclose(np.asarray(out["color"]), ref, atol=2e-5)
+    # frames genuinely differ over time (coverage rotation animates)
+    assert np.abs(ref[0] - ref[-1]).max() > 1e-4
+
+
+def test_flight_pallas_interpret_matches_per_frame():
+    from godot_atmosphere_shader_tpu.ops.pallas.megakernel import (
+        render_frame_pallas)
+
+    scene = build_demo_scene(variant="clouds", procedural=True)
+    cam = demo_camera("space")
+    out = scene.render_flight(cam, TIMES, H, W, interpret=True)
+    atmo = scene.atmospheres[0]
+    for i, t in enumerate(TIMES):
+        scene.update(t, cam)
+        ref = render_frame_pallas(atmo.build_params(), atmo.config, cam,
+                                  scene.opaque, H, W, interpret=True)
+        # identical traced math, only dispatch granularity differs → exact
+        np.testing.assert_array_equal(np.asarray(out["color"][i]),
+                                      np.asarray(ref["color"]))
+    # cross-path sanity (pallas vs XLA fusion differences only)
+    ref_xla = _per_frame_reference(scene, cam, "xla")
+    np.testing.assert_allclose(np.asarray(out["color"]), ref_xla, atol=1e-3)
+
+
+def test_flight_camera_path():
+    scene = build_demo_scene(variant="no_clouds", procedural=True)
+    cam = demo_camera("space")
+    vtw = np.broadcast_to(np.asarray(cam.view_to_world), (3, 4, 4)).copy()
+    vtw[1, 0, 3] += 5.0  # nudge the middle pose sideways
+    out = scene.render_flight(cam, TIMES, H, W, cam_transforms=vtw,
+                              renderer="xla")
+    c = np.asarray(out["color"])
+    assert np.abs(c[0] - c[1]).max() > 1e-4  # moved camera changes the frame
+
+
+def test_flight_multi_planet_xla():
+    from godot_atmosphere_shader_tpu.models.scene import PlanetAtmosphere
+
+    scene = build_demo_scene(variant="no_clouds", procedural=True)
+    scene.atmospheres.append(PlanetAtmosphere(
+        planet_radius=10.0, atmosphere_height=2.0,
+        sun=scene.atmospheres[0].sun, custom_shader="no_clouds",
+        position=(-188.991, 0.0, 192.584)))
+    cam = demo_camera("space")
+    out = scene.render_flight(cam, TIMES, H, W, renderer="xla")
+    ref = _per_frame_reference(scene, cam, "xla")
+    np.testing.assert_allclose(np.asarray(out["color"]), ref, atol=2e-5)

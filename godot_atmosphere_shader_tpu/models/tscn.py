@@ -244,6 +244,7 @@ def load_tscn(path: str, procedural: bool = True,
     spheres = []
     boxes = []
     light_dir = (0.0, 0.0, -1.0)
+    star_intensity = 0.0
 
     for path, s in nodes.items():
         name = s.get("name", "?")
@@ -304,14 +305,29 @@ def load_tscn(path: str, procedural: bool = True,
         elif ntype == "DirectionalLight3D":
             # light travels along the node's -Z basis column
             light_dir = tuple(-mat[:3, 2])
-        elif ntype in ("Node", "Node3D", "WorldEnvironment", "Camera3D"):
+        elif ntype == "WorldEnvironment":
+            # Environment background_mode=2 (sky) + PanoramaSkyMaterial is
+            # the demo's space panorama (planet_atmosphere_test.tscn:18-27);
+            # our opaque pass renders its procedural starfield analog when
+            # star_intensity > 0 (render/opaque.py) — a panorama *texture*
+            # would be a per-pixel gather, hostile to the TPU fast path.
+            env = deref(s.get("environment"))
+            if env is not None and int(env.get("background_mode", 0)) == 2:
+                sky = deref(env.get("sky"))
+                sky_mat = deref(sky.get("sky_material")) if sky else None
+                if sky_mat is not None and sky_mat.get("type") == "PanoramaSkyMaterial":
+                    star_intensity = 1.0
+                else:
+                    skipped.append(f"node {name}: sky without panorama material")
+        elif ntype in ("Node", "Node3D", "Camera3D"):
             pass
         else:
             skipped.append(f"node {name}: type {ntype}")
 
     opaque = OpaqueScene.create(spheres=spheres, boxes=boxes,
                                 light_dir=light_dir,
-                                sky_color=(0.001, 0.001, 0.002))
+                                sky_color=(0.001, 0.001, 0.002),
+                                star_intensity=star_intensity)
     return ImportResult(Scene(atmospheres=atmospheres, opaque=opaque), skipped)
 
 

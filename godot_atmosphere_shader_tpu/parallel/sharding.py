@@ -53,7 +53,9 @@ def _shade_slice(atmospheres, configs, camera, opaque,
     """Per-device body: shade a row-slice of the framebuffer."""
     ray_dir = Vec3(ray_dir_x, ray_dir_y, ray_dir_z)
     h, w = ray_dir_x.shape
-    reverse_z = configs[0].reverse_z if configs else True
+    from ..render.renderer import shared_reverse_z
+
+    reverse_z = shared_reverse_z(configs)
 
     if opaque is not None:
         bg, depth, linear_depth = render_opaque(

@@ -23,13 +23,30 @@ from .jitter import jitter_plane
 from .opaque import OpaqueScene, render_opaque
 
 
+def shared_reverse_z(configs) -> bool:
+    """The depth-buffer convention for the (single) opaque pass.
+
+    Godot's REVERSE_Z is an engine-global property, not per-material
+    (``planet_atmosphere_main.gdshaderinc:30-33`` keys it off the engine
+    version); layers disagreeing would silently mis-composite against the
+    one shared depth buffer, so it is an error here.
+    """
+    if not configs:
+        return True
+    rz = configs[0].reverse_z
+    if any(c.reverse_z != rz for c in configs):
+        raise ValueError("all atmosphere layers must share one reverse_z "
+                         "depth convention (it is engine-global in Godot)")
+    return rz
+
+
 def render_frame_impl(atmospheres: Sequence[AtmosphereParams],
                       configs: Tuple[VariantConfig, ...],
                       camera: Camera,
                       opaque: Optional[OpaqueScene],
                       height: int, width: int) -> dict:
     """Trace one frame.  ``atmospheres`` are pre-sorted far→near."""
-    reverse_z = configs[0].reverse_z if configs else True
+    reverse_z = shared_reverse_z(configs)
     if opaque is not None:
         bg, depth, linear_depth = render_opaque(opaque, camera, height, width,
                                                 reverse_z=reverse_z)

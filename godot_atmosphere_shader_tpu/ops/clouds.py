@@ -213,7 +213,8 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
                    sun_dir: Vec3, time, settings: CloudSettings, params,
                    shape_fn, coverage_fn, steps: int,
                    raymarched_lighting: bool, always_low: bool,
-                   coverage_interp: bool = False, coverage_endpoints=None):
+                   coverage_interp: bool = False, coverage_endpoints=None,
+                   coverage_knots: int = 8):
     """``raymarch_cloud`` (:175-247).  Returns ``(total_light, alpha)``.
 
     Includes the march-distance horizon hack (:181-204): marching distance is
@@ -233,17 +234,23 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
 
     if coverage_interp:
         # Fast-path quality/perf trade in the spirit of the reference's own
-        # march-distance clamp (:181-204): the coverage field is band-limited
-        # (a 256²-cubemap analog) and the marched segment is short, so sample
-        # the raw coverage at the segment endpoints and lerp per step instead
-        # of evaluating the (expensive, domain-warped) field 64×/pixel.
+        # march-distance clamp (:181-204): sample the (expensive,
+        # domain-warped) coverage field at K+1 knots along the marched
+        # segment and piecewise-lerp per step instead of evaluating it
+        # steps×/pixel.  K=1 is the old endpoint lerp; its error was
+        # measured too large (p99 0.29 at the avatar pose — the segment
+        # spans multiple periods of the scaled field), K=8 brings it to
+        # blue-noise-jitter level (see tests/test_coverage_interp.py).
         if coverage_endpoints is not None:
-            cov0, cov1 = coverage_endpoints
+            knots = coverage_endpoints
         else:
-            cov0 = raw_coverage(ray_origin + ray_dir * t_begin, params,
-                                coverage_fn)
-            cov1 = raw_coverage(ray_origin + ray_dir * t_end, params,
-                                coverage_fn)
+            K = max(int(coverage_knots), 1)
+            knots = tuple(
+                raw_coverage(ray_origin + ray_dir
+                             * lerp(t_begin, t_end, k / float(K)),
+                             params, coverage_fn)
+                for k in range(K + 1))
+        n_knots = len(knots) - 1
         inv_steps_f = 1.0 / float(steps)
 
     def body(i, carry):
@@ -254,8 +261,14 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
         alpha = 1.0 - prod
         coverage_value = None
         if coverage_interp:
-            frac = (fi + 0.5) * inv_steps_f
-            coverage_value = cov0 + (cov1 - cov0) * frac
+            # hat-function combination: cov(u) = Σₖ knotₖ·max(0, 1−|u−k|).
+            # u and the weights are per-step scalars (traced), the knots are
+            # pixel planes — each term is one scalar×plane fma, branch-free.
+            u = (fi + 0.5) * inv_steps_f * float(n_knots)
+            coverage_value = knots[0] * jnp.maximum(0.0, 1.0 - jnp.abs(u))
+            for k in range(1, n_knots + 1):
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(u - float(k)))
+                coverage_value = coverage_value + knots[k] * w
         light = get_light(pos, ray_dir, sun_dir, jitter, alpha, time,
                           settings, params, shape_fn, coverage_fn,
                           raymarched_lighting, always_low, pos_len=pos_len,
@@ -288,7 +301,8 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
                   shape_fn, coverage_fn, steps: int,
                   raymarched_lighting: bool, always_low: bool,
                   coverage_interp: bool = False, cull: bool = False,
-                  return_raw: bool = False):
+                  return_raw: bool = False, coverage_knots: int = 8,
+                  coverage_lod: int = 1, normalize_layout=None):
     """``render_clouds`` (:249-324) over whole pixel planes.
 
     ``ray_origin``/``ray_dir``/``sun_dir``/``planet_center`` are **world**
@@ -333,51 +347,182 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
     t_end_m = jnp.where(visible, t_end, t_begin)
     t_end_m = clamp_march_distance(ro_model, t_begin, t_end_m, settings)
 
-    coverage_endpoints = None
-    cull_mask = visible
-    if coverage_interp:
-        cov0 = raw_coverage(ro_model + rd_model * t_begin, params, coverage_fn)
-        cov1 = raw_coverage(ro_model + rd_model * t_end_m, params, coverage_fn)
-        coverage_endpoints = (cov0, cov1)
-        if cull:
+    def compute_knots():
+        K = max(int(coverage_knots), 1)
+        if coverage_lod <= 1:
+            return tuple(
+                raw_coverage(ro_model + rd_model * lerp(t_begin, t_end_m,
+                                                        k / float(K)),
+                             params, coverage_fn)
+                for k in range(K + 1))
+        # knots at reduced vertical resolution: the coverage field is the
+        # component the reference itself band-limits (to a 256² cubemap),
+        # so sampling it every `coverage_lod` rows and nearest-upsampling
+        # stays within the reference's own information budget while making
+        # the expensive warped-field evaluations ~coverage_lod× cheaper
+        h = t_begin.shape[0]
+        w = t_begin.shape[-1]
+        if h % coverage_lod:
+            raise ValueError(f"cloud_coverage_lod={coverage_lod} needs a "
+                             f"row count divisible by it (got {h})")
+        hk = h // coverage_lod
+
+        def down(x):
+            return x.reshape(hk, coverage_lod, w).mean(axis=1)
+
+        rd_k = Vec3(down(rd_model.x), down(rd_model.y), down(rd_model.z))
+        t0_k, t1_k = down(t_begin), down(t_end_m)
+        if normalize_layout is not None:
+            # the expensive warped-field evals must not consume strided-
+            # layout inputs (the downsample products) — normalize first
+            rkx, rky, rkz, t0_k, t1_k = normalize_layout(
+                (rd_k.x, rd_k.y, rd_k.z, t0_k, t1_k))
+            rd_k = Vec3(rkx, rky, rkz)
+        knots_c = tuple(
+            raw_coverage(ro_model + rd_k * lerp(t0_k, t1_k, k / float(K)),
+                         params, coverage_fn)
+            for k in range(K + 1))
+        knots = tuple(jnp.repeat(c, coverage_lod, axis=0) for c in knots_c)
+        if normalize_layout is not None:
+            # same Mosaic layout hazard as render_clouds_lod: reshape/repeat
+            # products poison the march loop — round-trip through VMEM
+            knots = normalize_layout(knots)
+        return knots
+
+    def march(knots):
+        light, a = raymarch_cloud(
+            ro_model, rd_model, t_begin, t_end_m, jitter, sd_model, time,
+            settings, params, shape_fn, coverage_fn, steps,
+            raymarched_lighting, always_low, coverage_interp=coverage_interp,
+            coverage_endpoints=knots, coverage_knots=coverage_knots)
+        return light, a
+
+    if cull:
+        # per-tile occlusion early-out (:273-278) — the reference reports it
+        # saves ~0.5 ms/frame in ground views; here whole tiles skip the
+        # knot evaluation AND the march.  Off-screen/occluded tiles cost
+        # only the shell intersections.
+        import jax.lax as lax
+
+        zero = jnp.zeros_like(t_begin)
+
+        def visible_branch():
+            if not coverage_interp:
+                return march(None)
+            knots = compute_knots()
             # conservative per-pixel density bound: the procedural noise
             # bases can overshoot [-1, 1] slightly (perlin ×1.15, simplex's
             # approximate normalization), so shape = lerp(0.5, s, factor) is
             # bounded by 0.5 + 0.575·|factor| (also valid under invert);
             # detail is 0.5 in low mode and height_curve ≤ 1.  Density can
-            # only be nonzero where the (lerped) coverage clears this
-            # threshold — tiles of cloud-free sky skip the march entirely.
+            # only be nonzero where the (hat-interpolated) coverage — whose
+            # max over the segment is the max over knots — clears this
+            # threshold; tiles of cloud-free sky skip the march.
             shape_bound = 0.5 + 0.575 * jnp.abs(params.cloud_shape_factor)
             detail_term = 0.1 if always_low else 0.0
-            cov_max = jnp.maximum(cov0, cov1) + params.cloud_coverage_bias
+            cov_max = knots[0]
+            for cov_k in knots[1:]:
+                cov_max = jnp.maximum(cov_max, cov_k)
+            cov_max = cov_max + params.cloud_coverage_bias
             max_density = (shape_bound - detail_term
                            + lerp(-1.2, 1.5, cov_max)) * 50.0 - 20.0
             cull_mask = jnp.logical_and(visible, max_density > 0.0)
+            return lax.cond(jnp.any(cull_mask), lambda: march(knots),
+                            lambda: (zero, zero))
 
-    def march():
-        light, a = raymarch_cloud(
-            ro_model, rd_model, t_begin, t_end_m, jitter, sd_model, time,
-            settings, params, shape_fn, coverage_fn, steps,
-            raymarched_lighting, always_low, coverage_interp=coverage_interp,
-            coverage_endpoints=coverage_endpoints)
-        return light, a
-
-    if cull:
-        # per-tile occlusion early-out (:273-278) — the reference reports it
-        # saves ~0.5 ms/frame in ground views; here whole tiles skip the march
-        import jax.lax as lax
-
-        zero = jnp.zeros_like(t_begin)
         cloud_light, cloud_alpha = lax.cond(
-            jnp.any(cull_mask), march, lambda: (zero, zero))
+            jnp.any(visible), visible_branch, lambda: (zero, zero))
     else:
-        cloud_light, cloud_alpha = march()
+        cloud_light, cloud_alpha = march(compute_knots()
+                                         if coverage_interp else None)
 
     if return_raw:
         return cloud_light, cloud_alpha, visible
 
     return apply_cloud_blend(albedo, alpha, cloud_light, cloud_alpha,
                              visible, params.cloud_blend)
+
+
+def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
+                      ray_origin: Vec3, ray_dir: Vec3, linear_depth,
+                      world_to_model, sun_dir: Vec3, jitter, time, params,
+                      shape_fn, coverage_fn, steps: int,
+                      raymarched_lighting: bool, always_low: bool,
+                      lod: int, coverage_interp: bool = False,
+                      cull: bool = False, coverage_knots: int = 8,
+                      coverage_lod: int = 1, normalize_layout=None):
+    """Vertical cloud LOD: march once per ``lod``-row group, blend full-res.
+
+    The TPU analog of rendering clouds into a reduced-resolution buffer
+    (a quality/perf trade the reference can't express — its fragment shader
+    runs per pixel).  Implementation constraints come from Mosaic: the only
+    layout ops a TPU kernel supports here are ``reshape(h//lod, lod, w)``
+    reductions (downsample) and ``jnp.repeat`` sublane interleave (nearest
+    upsample), so the LOD is vertical-only and nearest — no cross-row filter
+    taps, which also keeps the XLA and megakernel paths bit-identical (no
+    tile-boundary clamping divergence).
+
+    Coarse inputs per row group: the renormalized mean of the member rays
+    (for adjacent pinhole rays this is the group's center ray to ~1e-7),
+    the min of their depths (conservative occlusion), the first row's
+    jitter (preserves the blue-noise distribution).  Atmosphere scattering
+    and the final blend stay per-pixel; only cloud light/alpha/visibility
+    are group-constant.
+    """
+    h = albedo.x.shape[0]
+    w = albedo.x.shape[-1]
+    if h % lod:
+        raise ValueError(f"cloud_lod={lod} needs row count divisible by it "
+                         f"(got {h})")
+    hc = h // lod
+
+    def down_mean(x):
+        return x.reshape(hc, lod, w).mean(axis=1)
+
+    def down_min(x):
+        return x.reshape(hc, lod, w).min(axis=1)
+
+    def down_first(x):
+        # max over a masked reshape keeps "row 0 of each group" expressible
+        # with supported ops (plain [:, 0, :] indexing lowers to the same
+        # strided extract Mosaic rejects)
+        import jax.lax as lax
+
+        sel = (lax.broadcasted_iota(jnp.int32, (hc, lod, w), 1) == 0)
+        return jnp.where(sel, x.reshape(hc, lod, w), -jnp.inf).max(axis=1)
+
+    def up(x):
+        return jnp.repeat(x, lod, axis=0)
+
+    rdm = Vec3(down_mean(ray_dir.x), down_mean(ray_dir.y),
+               down_mean(ray_dir.z))
+    inv = 1.0 / jnp.sqrt(rdm.x * rdm.x + rdm.y * rdm.y + rdm.z * rdm.z)
+    ray_dir_c = Vec3(rdm.x * inv, rdm.y * inv, rdm.z * inv)
+    depth_c = down_min(linear_depth)
+    jitter_c = down_first(jitter)
+
+    if normalize_layout is not None:
+        # Mosaic layout hazard: values produced by the (hc, lod, w)
+        # reshape-reduce carry a strided layout that poisons every op of the
+        # downstream march (measured 8× slowdown of the whole kernel).  The
+        # megakernel passes a VMEM-scratch round-trip here to force the
+        # planes back to the native layout before they enter the loop.
+        rdx, rdy, rdz, depth_c, jitter_c = normalize_layout(
+            (ray_dir_c.x, ray_dir_c.y, ray_dir_c.z, depth_c, jitter_c))
+        ray_dir_c = Vec3(rdx, rdy, rdz)
+
+    zero_c = jnp.zeros((hc, w), jnp.float32)
+    light_c, alpha_c, visible_c = render_clouds(
+        Vec3(zero_c, zero_c, zero_c), zero_c, planet_center, ray_origin,
+        ray_dir_c, depth_c, world_to_model, sun_dir, jitter_c, time, params,
+        shape_fn, coverage_fn, steps, raymarched_lighting, always_low,
+        coverage_interp=coverage_interp, cull=cull, return_raw=True,
+        coverage_knots=coverage_knots, coverage_lod=coverage_lod,
+        normalize_layout=normalize_layout)
+
+    return apply_cloud_blend(albedo, alpha, up(light_c), up(alpha_c),
+                             up(visible_c.astype(jnp.float32)) > 0.5,
+                             params.cloud_blend)
 
 
 def apply_cloud_blend(albedo: Vec3, alpha, cloud_light, cloud_alpha, visible,

@@ -367,12 +367,73 @@ def cellular_noise3(x, y, z, seed: int = 0, jitter: float = 1.0,
     return jnp.sqrt(f1) * 2.0 - 1.0
 
 
+def cellular_noise3_fast(x, y, z, seed: int = 0, jitter: float = 1.0,
+                         return_type: str = "distance"):
+    """8-cell Worley F1 — the in-march cellular approximation.
+
+    Exact cellular (:func:`cellular_noise3`) searches 27 cells, ~3.4× this
+    cost; that is fine for bakes but not for 2 evaluations × 64 march steps
+    per pixel.  This searches only the 8 cells adjacent to the nearest
+    lattice corner: for ``jitter ≤ 0.5`` that window provably contains the
+    closest feature point; at FastNoiseLite's default ``jitter = 1.0`` it
+    can miss it near cell borders, slightly overestimating F1 — in the
+    ridged-fractal cloud shape this reads as marginally thicker vein lines,
+    bounded by the quality tests against the baked 27-cell field
+    (tests/test_shape_field.py).  ``distance2`` needs F2, whose 8-cell
+    estimate is poor — exact cellular remains the right basis there.
+    """
+    ix, fx = _floor_int(x)
+    iy, fy = _floor_int(y)
+    iz, fz = _floor_int(z)
+    # window base: the 2×2×2 cell block around the nearest corner
+    bx = (fx >= 0.5).astype(jnp.int32) - 1
+    by = (fy >= 0.5).astype(jnp.int32) - 1
+    bz = (fz >= 0.5).astype(jnp.int32) - 1
+
+    # IDENTICAL feature points to cellular_noise3 (same hash3-derived
+    # offsets), so this is a true windowed approximation of the exact field
+    # rather than a different field; the coordinate multiplies are hoisted
+    # (one per axis instead of 8×3)
+    hx0 = (ix + bx).astype(jnp.uint32) * _U(0x9E3779B1)
+    hy0 = (iy + by).astype(jnp.uint32) * _U(0x85EBCA77)
+    hz0 = (iz + bz).astype(jnp.uint32) * _U(0xC2B2AE3D) + _U(seed & 0xFFFFFFFF)
+
+    fbx = bx.astype(jnp.float32) - fx
+    fby = by.astype(jnp.float32) - fy
+    fbz = bz.astype(jnp.float32) - fz
+
+    f1 = None
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                h = _mix(hx0 + (_U(0x9E3779B1) if dx else _U(0))
+                         + hy0 + (_U(0x85EBCA77) if dy else _U(0))
+                         + hz0 + (_U(0xC2B2AE3D) if dz else _U(0)))
+                ox = _hash_to_unit(h) * jitter
+                oy = _hash_to_unit(_mix(h ^ _U(0xABCD1234))) * jitter
+                oz = _hash_to_unit(_mix(h ^ _U(0x1B56C4E9))) * jitter
+                ddx = fbx + dx + ox
+                ddy = fby + dy + oy
+                ddz = fbz + dz + oz
+                d = ddx * ddx + ddy * ddy + ddz * ddz
+                f1 = d if f1 is None else jnp.minimum(f1, d)
+
+    if return_type == "cell_value":
+        raise ValueError("cellular_fast supports return_type='distance' "
+                         "only (use 'cellular' for cell_value/distance2)")
+    if return_type == "distance2":
+        raise ValueError("cellular_fast supports return_type='distance' "
+                         "only (use 'cellular' for cell_value/distance2)")
+    return jnp.sqrt(f1) * 2.0 - 1.0
+
+
 _BASES = {
     "value": value_noise3,
     "perlin": perlin_noise3,
     "simplex": simplex_noise3,
     "simplex_smooth": simplex_smooth_noise3,  # FNL default (OpenSimplex2S)
     "cellular": cellular_noise3,
+    "cellular_fast": cellular_noise3_fast,  # 8-cell F1, in-march approximation
 }
 
 
@@ -412,7 +473,7 @@ class NoiseSpec:
 
 def _eval_base(spec: NoiseSpec, x, y, z, seed_offset: int = 0):
     fn = _BASES[spec.noise_type]
-    if spec.noise_type == "cellular":
+    if spec.noise_type in ("cellular", "cellular_fast"):
         return fn(x, y, z, seed=spec.seed + seed_offset,
                   jitter=spec.cellular_jitter, return_type=spec.cellular_return)
     return fn(x, y, z, seed=spec.seed + seed_offset)

@@ -173,8 +173,27 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
                  want_depth: bool = False):
     aspect = width / height
 
+    needs_scratch = _needs_lod_scratch(config)
+
     def kernel(scal_ref, blue_ref, *refs):
         out_ld = None
+        normalize_layout = None
+        if needs_scratch:
+            # VMEM scratch for the coarse cloud planes: a store+load
+            # round-trip resets the strided layout the LOD downsample
+            # produces (see ops/clouds.py::render_clouds_lod)
+            lod_scratch = refs[-1]
+            refs = refs[:-1]
+
+            def normalize_layout(planes, _s=lod_scratch):
+                # planes may be narrower than the scratch slot (e.g. the
+                # coverage-LOD knot inputs at a further-halved height);
+                # sublane-aligned static subslices keep this legal
+                h2 = planes[0].shape[0]
+                for k, p in enumerate(planes):
+                    _s[k, :h2, :] = p
+                return tuple(_s[k, :h2, :] for k in range(len(planes)))
+
         if with_background:
             bg_r_ref, bg_g_ref, bg_b_ref, bg_ld_ref = refs[:4]
             refs = refs[4:]
@@ -282,7 +301,7 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
 
         rgb, alpha, mask = shade_atmosphere(
             params_view, config, ray_origin, ray_dir, linear_depth, jitter,
-            planet_center)
+            planet_center, normalize_layout=normalize_layout)
 
         a = jnp.where(mask, alpha, 0.0)
         out_r[:] = bg.x * (1.0 - a) + rgb.x * a
@@ -293,6 +312,15 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
             out_ld[:] = linear_depth
 
     return kernel
+
+
+def _needs_lod_scratch(config: VariantConfig) -> bool:
+    """Whether the kernel needs the VMEM layout-normalization scratch: any
+    cloud LOD reshape/repeat product that would otherwise enter the march
+    loop in a strided Mosaic layout (measured 8× whole-kernel slowdown)."""
+    return config.clouds_enabled and (
+        config.cloud_lod > 1
+        or (config.cloud_coverage_interp and config.cloud_coverage_lod > 1))
 
 
 def _check_config(config: VariantConfig):
@@ -404,12 +432,22 @@ def _render_pallas_jit(params, camera, opaque, config, height, width, block,
     # the extra full-frame write costs measurable HBM time, so it's opt-in]
     n_out = 5 if want_depth else 4
     out_shape = [jax.ShapeDtypeStruct((out_height, width), jnp.float32)] * n_out
+    scratch_shapes = []
+    if _needs_lod_scratch(config):
+        if bh % (config.cloud_lod * config.cloud_coverage_lod):
+            raise ValueError("cloud_lod·cloud_coverage_lod must divide the "
+                             "block height")
+        rows = max(5, config.cloud_coverage_knots + 1
+                   if config.cloud_coverage_interp else 5)
+        scratch_shapes = [pltpu.VMEM((rows, bh // config.cloud_lod, bw),
+                                     jnp.float32)]
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=[tile_spec] * n_out,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*args)
     if stacked:

@@ -48,6 +48,23 @@ def make_mesh(devices=None, axis_name: str = "rows") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def _check_lod_alignment(configs, h_local: int):
+    """Cloud LOD groups rows in fixed vertical blocks; a shard boundary that
+    falls inside a group would make the sharded render pair different rows
+    than the single-chip render (a subpixel cloud shift per band).  Keep the
+    'sharded bit-matches single-chip' guarantee by requiring alignment."""
+    for c in configs:
+        if not getattr(c, "clouds_enabled", False):
+            continue
+        align = c.cloud_lod * (c.cloud_coverage_lod
+                               if c.cloud_coverage_interp else 1)
+        if align > 1 and h_local % align:
+            raise ValueError(
+                f"rows per shard ({h_local}) must be a multiple of the "
+                f"cloud LOD group ({align}) — pad the frame height or "
+                f"change the mesh size")
+
+
 def _shade_slice(atmospheres, configs, camera, opaque,
                  ray_dir_x, ray_dir_y, ray_dir_z, jitter):
     """Per-device body: shade a row-slice of the framebuffer."""
@@ -103,6 +120,7 @@ def render_frame_pallas_sharded(params: AtmosphereParams,
     if height % n != 0:
         raise ValueError(f"height {height} not divisible by mesh size {n}")
     h_local = height // n
+    _check_lod_alignment((config,), h_local)
 
     def shard_body(_token):
         idx = jax.lax.axis_index(axis)
@@ -141,6 +159,7 @@ def render_frame_sharded(atmospheres: Tuple[AtmosphereParams, ...],
     n = mesh.devices.size
     if height % n != 0:
         raise ValueError(f"height {height} not divisible by mesh size {n}")
+    _check_lod_alignment(configs, height // n)
 
     row_sharded = P(axis, None)
     replicated = P()

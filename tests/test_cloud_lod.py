@@ -1,0 +1,77 @@
+"""Vertical cloud LOD (``cloud_lod``/``cloud_coverage_lod``) quality bounds.
+
+``render_clouds_lod`` marches the cloud layer once per ``cloud_lod``-row
+group and nearest-upsamples light/alpha before the full-res blend
+(``ops/clouds.py``); ``cloud_coverage_lod`` additionally evaluates the
+coverage knots on a further-coarsened grid — the vertical analog of the
+reference band-limiting coverage to a 256² cubemap.
+
+Measured at 1080p on the real chip the lod=2 delta is small (interior mean
+|Δ| 7e-4, avatar 4.4e-3); at this test resolution (144 rows) the grouping is
+~7× coarser relative to the image, so bounds here are proportionally looser.
+The megakernel runs the same shared code with a VMEM layout-normalization
+round-trip (bit-identical values; see megakernel parity tests).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+
+RES = (144, 216)
+
+
+def _render(pose="interior", **cfg_kw):
+    from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
+                                                         demo_camera)
+
+    scene = build_demo_scene(variant="clouds_high", procedural=True)
+    a = scene.atmospheres[0]
+    a.set_custom_shader(dataclasses.replace(a.config, **cfg_kw))
+    cam = demo_camera(pose)
+    scene.update(0.0, cam)
+    return scene.render(cam, *RES, renderer="xla")
+
+
+BASE = dict(cloud_coverage_interp=True, cloud_coverage_knots=8)
+
+
+def test_lod2_stays_close_to_full_res():
+    full = np.asarray(_render(cloud_lod=1, cloud_coverage_lod=1, **BASE)["color"])
+    lod2 = np.asarray(_render(cloud_lod=2, cloud_coverage_lod=1, **BASE)["color"])
+    d = np.abs(full - lod2)
+    # measured at this res: mean 0.0017, p99 0.053
+    assert d.mean() < 0.006, d.mean()
+    assert np.percentile(d, 99) < 0.12
+
+
+def test_coverage_lod_stays_close():
+    lod2 = np.asarray(_render(cloud_lod=2, cloud_coverage_lod=1, **BASE)["color"])
+    prof = np.asarray(_render(cloud_lod=2, cloud_coverage_lod=2, **BASE)["color"])
+    d = np.abs(lod2 - prof)
+    # measured: mean 0.0013, p99 0.045
+    assert d.mean() < 0.005, d.mean()
+    assert np.percentile(d, 99) < 0.12
+
+
+def test_lod_requires_divisible_height():
+    with pytest.raises(ValueError):
+        from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
+                                                             demo_camera)
+
+        scene = build_demo_scene(variant="clouds_high", procedural=True)
+        a = scene.atmospheres[0]
+        a.set_custom_shader(dataclasses.replace(a.config, cloud_lod=2, **BASE))
+        cam = demo_camera("interior")
+        scene.update(0.0, cam)
+        scene.render(cam, 143, 216, renderer="xla")
+
+
+def test_lod_alpha_and_finiteness():
+    out = _render(cloud_lod=2, cloud_coverage_lod=2, **BASE)
+    color, alpha = np.asarray(out["color"]), np.asarray(out["alpha"])
+    assert np.isfinite(color).all() and np.isfinite(alpha).all()
+    # the atmosphere's 0.99 dither cap applies pre-cloud-blend; the cloud
+    # alpha/additive mix can legitimately approach 1.0
+    assert alpha.min() >= 0.0 and alpha.max() <= 1.0 + 1e-6

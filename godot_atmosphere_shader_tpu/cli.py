@@ -34,7 +34,8 @@ def cmd_render(args) -> None:
             print(f"  (skipped: {note})")
     else:
         scene = build_demo_scene(variant=args.variant,
-                                 procedural=not args.textures)
+                                 procedural=not args.textures,
+                                 shape_basis=args.shape_basis)
     cam = demo_camera(args.pose)
     scene.update(args.time, cam)
     t0 = time.perf_counter()
@@ -181,6 +182,11 @@ def main(argv=None) -> int:
     r.add_argument("--size", type=int, default=512)
     r.add_argument("--width", type=int, default=None)
     r.add_argument("--time", type=float, default=0.0)
+    r.add_argument("--shape-basis", default="value",
+                   choices=["value", "cellular"],
+                   help="in-march cloud shape basis: fast value fractal or "
+                        "8-cell Worley cellular (closer to the baked "
+                        "reference, ~2x march cost)")
     r.add_argument("--textures", action="store_true",
                    help="use baked textures instead of procedural fields")
     r.add_argument("--renderer", default="auto",

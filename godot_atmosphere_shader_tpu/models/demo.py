@@ -30,19 +30,30 @@ from .scene import Node3D, PlanetAtmosphere, Scene
 
 #: demo NoiseTexture3D source (planet_atmosphere_test.tscn:48-57):
 #: FastNoiseLite type 2 (cellular), freq 0.1, fractal type 2 (ridged),
-#: 8 octaves, gain 0.665.  Cellular's 27-cell cost is bake-only; the
-#: procedural in-march spec uses the same fractal over the cheaper perlin
-#: basis (documented capability/visual tradeoff, SURVEY.md §7 hard part (c)).
+#: 8 octaves, gain 0.665.  Exact 27-cell cellular is bake-only; the
+#: in-march specs below trade basis fidelity for step cost (measured
+#: deltas in tests/test_shape_field.py, SURVEY.md §7 hard part (c)).
 SHAPE_NOISE_BAKE = NoiseSpec(noise_type="cellular", frequency=0.1,
                              fractal_type="ridged", octaves=8, gain=0.665,
                              cellular_return="distance", seed=3)
 #: Fast-path spec: value-noise basis, 3 octaves.  At the march's sampling
-#: rate (64 steps over the clamped ~15-unit segment) octaves ≥2 alias anyway,
-#: and side-by-side renders (space + interior poses) are indistinguishable
-#: from the 4-octave perlin version while being ~2× cheaper per step.
+#: rate (64 steps over the clamped ~15-unit segment) octaves ≥2 alias anyway.
+#: Measured render delta vs the baked cellular-ridged-8oct reference texture
+#: (144×216, exact coverage, tests/test_shape_field.py): mean |Δ| 0.0133
+#: avatar / 0.0025 interior.
 SHAPE_NOISE_FAST = NoiseSpec(noise_type="value", frequency=0.1,
                              fractal_type="ridged", octaves=3, gain=0.665,
                              seed=3)
+#: Higher-fidelity in-march spec: true cellular basis via the 8-cell Worley
+#: F1 window (``ops/noise.py::cellular_noise3_fast`` — identical feature
+#: points to the bake's 27-cell field, ~3.4× cheaper per eval).  Measured
+#: render delta vs the baked reference: mean |Δ| 0.0110 avatar / 0.0022
+#: interior — closer than the value basis, at ~2× its march cost
+#: (flagship 209 → ~108 Mrays/s), so it is the opt-in quality tier.
+SHAPE_NOISE_FAST_CELL = NoiseSpec(noise_type="cellular_fast", frequency=0.1,
+                                  fractal_type="ridged", octaves=3,
+                                  gain=0.665, cellular_return="distance",
+                                  seed=3)
 
 #: demo NoiseCubemap source (planet_atmosphere_test.tscn:59-69):
 #: default FastNoiseLite with domain warp (amp 90, freq 0.01, 3 octaves),
@@ -60,17 +71,25 @@ COVERAGE_RESOLUTION = 256
 SHAPE_TEXTURE_SIZE = 64
 
 
-def demo_variant(name: str = "clouds", procedural: bool = True) -> VariantConfig:
-    """The demo's shader variant with its cloud field specs attached."""
+def demo_variant(name: str = "clouds", procedural: bool = True,
+                 shape_basis: str = "value") -> VariantConfig:
+    """The demo's shader variant with its cloud field specs attached.
+
+    ``shape_basis``: ``"value"`` (default fast spec) or ``"cellular"``
+    (8-cell Worley F1, closer to the baked cellular-ridged reference at
+    ~2× the march cost — see SHAPE_NOISE_FAST_CELL).
+    """
     import dataclasses
 
     cfg = VARIANTS[name]
     if not cfg.clouds_enabled or not procedural:
         return cfg
+    shape = {"value": SHAPE_NOISE_FAST,
+             "cellular": SHAPE_NOISE_FAST_CELL}[shape_basis]
     return dataclasses.replace(
         cfg,
         cloud_shape_noise=ProceduralField(
-            noise=SHAPE_NOISE_FAST,
+            noise=shape,
             scale=(float(SHAPE_TEXTURE_SIZE),) * 3),
         cloud_coverage_noise=ProceduralField(
             noise=COVERAGE_NOISE, scale=COVERAGE_SCALE),
@@ -86,7 +105,8 @@ def demo_variant(name: str = "clouds", procedural: bool = True) -> VariantConfig
     )
 
 
-def build_demo_scene(variant: str = "clouds", procedural: bool = True) -> Scene:
+def build_demo_scene(variant: str = "clouds", procedural: bool = True,
+                     shape_basis: str = "value") -> Scene:
     """Planet + sun + moon + cube demo scene (tscn node-for-node)."""
     sun = Node3D(position=(0.0, 0.0, 598.677), name="Sun")
 
@@ -94,7 +114,7 @@ def build_demo_scene(variant: str = "clouds", procedural: bool = True) -> Scene:
         planet_radius=100.0,
         atmosphere_height=8.0,
         sun=sun,
-        custom_shader=demo_variant(variant, procedural),
+        custom_shader=demo_variant(variant, procedural, shape_basis),
         name="PlanetAthmosphere",  # sic, as in the tscn
     )
     # shader_params block (planet_atmosphere_test.tscn:101-114)

@@ -30,6 +30,12 @@ from .params import AtmosphereParams, VariantConfig, VARIANTS, DEFAULT_VARIANT
 MODE_NEAR = 0
 MODE_FAR = 1
 SWITCH_MARGIN_RATIO = 1.1  # planet_atmosphere.gd:11
+#: Auto-enable camera-relative (large-world) rendering beyond this distance
+#: from the world origin: f32 spacing there is 2^-9 ≈ 2 mm — still fine — but
+#: Earth-scale scenes (~6.4e6, spacing 0.5 m) march visibly quantized without
+#: the rebase.  The reference gates this on an engine build flag instead
+#: (DOUBLE_PRECISION, ``planet_atmosphere_main.gdshaderinc:24-25``).
+LARGE_WORLD_THRESHOLD = 32768.0
 
 #: set internally by the node; hidden from the user param surface
 #: (planet_atmosphere.gd:68-77)
@@ -87,9 +93,13 @@ class Node3D:
 
     def __init__(self, position=(0.0, 0.0, 0.0), transform=None, name=""):
         if transform is None:
-            transform = np.eye(4, dtype=np.float32)
+            transform = np.eye(4)
             transform[:3, 3] = position
-        self.transform = np.asarray(transform, np.float32)
+        # float64 host storage: world positions stay full-precision so the
+        # large-world camera rebase (DOUBLE_PRECISION analog) has exact
+        # coordinates to subtract; everything is cast to f32 only at
+        # frame-state pack time
+        self.transform = np.asarray(transform, np.float64)
         self.name = name
 
     @property
@@ -239,11 +249,17 @@ class PlanetAtmosphere(Node3D):
     # -- per-frame update (planet_atmosphere.gd:285-341) ----------------------
 
     def update(self, time_s: float, camera: Optional[Camera] = None,
-               cam_near: float = 0.1, cam_pos=None):
+               cam_near: float = 0.1, cam_pos=None, origin=None):
         """Per-frame uniform refresh.  Host-side numpy only — a device
         readback here costs a full tunnel round-trip per frame on axon
         setups, which dwarfs the actual render time.  ``cam_pos`` lets the
-        Scene fetch the camera transform once for all atmospheres."""
+        Scene fetch the camera transform once for all atmospheres.
+
+        ``origin`` (float64 (3,)): large-world rebase — sun position and the
+        world→model transform are expressed relative to it (in float64, cast
+        f32 at pack), the TPU-native replacement for the reference's
+        ``DOUBLE_PRECISION`` shader define
+        (``planet_atmosphere_main.gdshaderinc:24-25``)."""
         if cam_pos is not None:
             cam_pos = np.asarray(cam_pos)
         elif camera is not None:
@@ -263,14 +279,18 @@ class PlanetAtmosphere(Node3D):
         self.mode = MODE_NEAR if (is_near or self.force_fullscreen) else MODE_FAR
 
         if self.sun is not None:
-            sun_pos = np.asarray(self.sun.position, np.float32)
+            sun_pos = np.asarray(self.sun.position)
             self._sun_position_host = sun_pos
         else:
             sun_pos = self._sun_position_host
-        # rigid inverse in numpy (self.transform is host-side)
+        # rigid inverse in numpy (self.transform is host-side float64)
         r = self.transform[:3, :3]
         t = self.transform[:3, 3]
-        w2m = np.eye(4, dtype=np.float32)
+        if origin is not None:
+            o = np.asarray(origin, np.float64)
+            sun_pos = np.asarray(sun_pos, np.float64) - o
+            t = t - o  # model = w2m·(p_rel + origin) ⇒ shift the translation
+        w2m = np.eye(4)
         w2m[:3, :3] = r.T
         w2m[:3, 3] = -r.T @ t
         angle = time_s * math.radians(self.clouds_rotation_speed)
@@ -302,10 +322,28 @@ class PlanetAtmosphere(Node3D):
 class Scene:
     """A renderable collection: atmospheres + opaque geometry + camera."""
 
-    def __init__(self, atmospheres=(), opaque: Optional[OpaqueScene] = None):
+    def __init__(self, atmospheres=(), opaque: Optional[OpaqueScene] = None,
+                 large_world: Optional[bool] = None):
         self.atmospheres = list(atmospheres)
         self.opaque = opaque
         self._cam_pos_cache = {}
+        #: Camera-relative rendering (the reference's DOUBLE_PRECISION analog,
+        #: ``planet_atmosphere_main.gdshaderinc:24-25``): positions are
+        #: rebased around the camera in host float64 each frame, so planets at
+        #: e.g. Earth-scale coordinates (~6.4e6) render without f32
+        #: quantization artifacts.  ``None`` = auto: on when the camera or any
+        #: atmosphere sits beyond LARGE_WORLD_THRESHOLD from the world origin.
+        self.large_world = large_world
+        self._rebase_origin = None
+        self._opaque_host_cache = {}
+
+    def _large_world_active(self, cam_pos) -> bool:
+        if self.large_world is not None:
+            return self.large_world
+        m = float(np.max(np.abs(cam_pos))) if len(self.atmospheres) else 0.0
+        for a in self.atmospheres:
+            m = max(m, float(np.max(np.abs(a.position))))
+        return m > LARGE_WORLD_THRESHOLD
 
     def _cam_info(self, camera: Camera):
         """One device→host fetch per distinct camera object (a fetch per
@@ -324,8 +362,14 @@ class Scene:
 
     def update(self, time_s: float, camera: Camera):
         cam_pos, cam_near = self._cam_info(camera)
+        origin = None
+        if self._large_world_active(cam_pos):
+            origin = np.asarray(cam_pos, np.float64)
+        self._rebase_origin = origin
+        self._last_update_time = time_s
         for atmo in self.atmospheres:
-            atmo.update(time_s, camera, cam_pos=cam_pos, cam_near=cam_near)
+            atmo.update(time_s, camera, cam_pos=cam_pos, cam_near=cam_near,
+                        origin=origin)
 
     def render(self, camera: Camera, height: int, width: int,
                renderer: str = "auto"):
@@ -340,7 +384,12 @@ class Scene:
         nonlinear ``depth`` buffer, the pallas path ``linear_depth`` when a
         chained pass produced it.
         """
+        # sync frame_states to the rebase origin first (build_params snapshots
+        # them), sort with the absolute camera, then swap in the
+        # camera-relative view of the world for the device
+        self._sync_rebase(camera)
         order, params, configs = self._sorted_layers(camera)
+        camera, opaque = self._rebased_view(camera)
 
         if renderer != "xla":
             if self._pallas_eligible(configs):
@@ -349,12 +398,42 @@ class Scene:
                 # the whole far→near chain (opaque fuse + every atmosphere
                 # layer) traces into ONE jit = one device dispatch per frame
                 return render_scene_pallas(params, configs, camera,
-                                           self.opaque, height, width)
+                                           opaque, height, width)
             if renderer == "pallas":
                 raise ValueError(
                     "pallas renderer needs analytic optical depth and "
                     "procedural cloud fields (and a TPU backend)")
-        return render_frame(params, configs, camera, self.opaque, height, width)
+        return render_frame(params, configs, camera, opaque, height, width)
+
+    def _sync_rebase(self, camera: Camera):
+        """Make the packed frame_states camera-relative when large-world mode
+        is on and the rebase origin is stale (camera moved since ``update``,
+        or ``update`` was never called on this static scene)."""
+        cam_pos, _ = self._cam_info(camera)
+        if not self._large_world_active(cam_pos):
+            self._rebase_origin = None
+            return
+        origin = self._rebase_origin
+        if origin is None or not np.array_equal(
+                origin, np.asarray(cam_pos, np.float64)):
+            self.update(getattr(self, "_last_update_time", 0.0), camera)
+
+    def _rebased_view(self, camera: Camera):
+        """The (camera, opaque) pair the device should see.  When large-world
+        mode is active, every world position crossing to the device is
+        camera-relative — subtracted in host float64, cast f32 — so
+        Earth-scale coordinates carry no f32 quantization into the march
+        (the reference's DOUBLE_PRECISION analog)."""
+        origin = self._rebase_origin
+        if origin is None:
+            return camera, self.opaque
+        m = np.array(np.asarray(camera.view_to_world), np.float64)
+        m[:3, 3] -= origin
+        cam_rel = dataclasses.replace(
+            camera, view_to_world=m.astype(np.float32))
+        opaque = (self.opaque.rebased(origin, self._opaque_host_cache)
+                  if self.opaque is not None else None)
+        return cam_rel, opaque
 
     def _sorted_layers(self, camera: Camera):
         cam_pos, _ = self._cam_info(camera)
@@ -390,23 +469,40 @@ class Scene:
         times = np.asarray(times, np.float32)
         cam_pos, cam_near = self._cam_info(camera)  # ONE device fetch
         order, params, configs = self._sorted_layers(camera)
+        # large-world flights rebase the WHOLE sequence by one origin (the
+        # first frame's camera) — one origin keeps the opaque scene and the
+        # jitted graph static across the in-graph lax.map; precision holds
+        # because a flight segment spans km, not the 1e6+ world coordinate
+        origin = None
+        if self._large_world_active(cam_pos):
+            origin = np.asarray(
+                np.asarray(cam_transforms[0], np.float64)[:3, 3]
+                if cam_transforms is not None else cam_pos, np.float64)
+        self._rebase_origin = origin
         # per-frame packed state per layer, built host-side in one numpy pass
         fs_stacks = []
         for atmo in order:
             rows = []
             for i, t in enumerate(times):
-                cp = (np.asarray(cam_transforms[i], np.float32)[:3, 3]
+                cp = (np.asarray(cam_transforms[i], np.float64)[:3, 3]
                       if cam_transforms is not None else cam_pos)
-                atmo.update(float(t), cam_near=cam_near, cam_pos=cp)
+                atmo.update(float(t), cam_near=cam_near, cam_pos=cp,
+                            origin=origin)
                 rows.append(np.asarray(atmo._params.frame_state))
             fs_stacks.append(np.stack(rows))
         params = tuple(dataclasses.replace(p, frame_state=None) for p in params)
+
+        camera, opaque = self._rebased_view(camera)
+        if origin is not None and cam_transforms is not None:
+            cam_transforms = np.asarray(cam_transforms, np.float64).copy()
+            cam_transforms[:, :3, 3] -= origin
+            cam_transforms = cam_transforms.astype(np.float32)
 
         if renderer != "xla" and (interpret or self._pallas_eligible(configs)):
             from ..ops.pallas.megakernel import render_flight_pallas
 
             return render_flight_pallas(params, tuple(fs_stacks), configs,
-                                        camera, self.opaque, height, width,
+                                        camera, opaque, height, width,
                                         cam_stack=cam_transforms,
                                         interpret=interpret)
         if renderer == "pallas":
@@ -416,5 +512,5 @@ class Scene:
         from ..render.renderer import render_flight_xla
 
         return render_flight_xla(params, tuple(fs_stacks), configs, camera,
-                                 self.opaque, height, width,
+                                 opaque, height, width,
                                  cam_stack=cam_transforms)

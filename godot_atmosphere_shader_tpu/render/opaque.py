@@ -83,6 +83,36 @@ class OpaqueScene:
             star_intensity=jnp.asarray(star_intensity, jnp.float32),
         )
 
+    def rebased(self, origin, host_cache: dict = None) -> "OpaqueScene":
+        """Camera-relative copy: world positions shifted by ``-origin``.
+
+        The large-world path (DOUBLE_PRECISION analog,
+        ``planet_atmosphere_main.gdshaderinc:24-25``): the subtraction runs
+        host-side in float64, so geometry near the camera keeps full f32
+        precision on device no matter how far from the world origin it sits.
+        ``host_cache`` (optional, caller-owned) avoids refetching the device
+        arrays every frame; the rebased leaves stay numpy so the upload rides
+        the next jit call.
+        """
+        import numpy as np
+
+        if host_cache is not None and "sc" in host_cache:
+            sc, bm = host_cache["sc"], host_cache["bm"]
+        else:
+            sc = np.asarray(self.sphere_centers, np.float64)
+            bm = np.asarray(self.box_world_to_box, np.float64)
+            if host_cache is not None:
+                host_cache["sc"], host_cache["bm"] = sc, bm
+        o = np.asarray(origin, np.float64)
+        sc_rel = (sc - o).astype(np.float32)
+        bm_rel = bm.copy()
+        if bm_rel.shape[0]:
+            # box = M·p_world, p_world = p_rel + origin  ⇒  t' = t + R·origin
+            bm_rel[:, :3, 3] += bm_rel[:, :3, :3] @ o
+        return dataclasses.replace(
+            self, sphere_centers=sc_rel,
+            box_world_to_box=bm_rel.astype(np.float32))
+
 
 def render_opaque(scene: OpaqueScene, camera: Camera, height: int, width: int,
                   reverse_z: bool = True, ray_dir: Optional[Vec3] = None):

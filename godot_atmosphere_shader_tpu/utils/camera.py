@@ -25,6 +25,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .vecmath import Vec3, normalize
 
@@ -49,6 +50,16 @@ class Camera:
         # always degrees in — converting only for python floats would turn a
         # np.float32 argument into silent radians (unit change keyed on type)
         fov_y_rad = jnp.deg2rad(jnp.asarray(fov_y_deg, jnp.float32))
+        if (isinstance(view_to_world, np.ndarray)
+                and view_to_world.dtype == np.float64):
+            # large-world cameras stay host-side float64; Scene rebases the
+            # world around them before any f32 cast (DOUBLE_PRECISION analog)
+            return Camera(
+                view_to_world=view_to_world,
+                fov_y_rad=fov_y_rad,
+                near=jnp.asarray(near, jnp.float32),
+                far=jnp.asarray(far, jnp.float32),
+            )
         return Camera(
             view_to_world=jnp.asarray(view_to_world, jnp.float32),
             fov_y_rad=fov_y_rad,
@@ -67,7 +78,26 @@ class Camera:
 
 
 def look_at(eye, target, up=(0.0, 1.0, 0.0)) -> jnp.ndarray:
-    """Camera (view→world) transform looking from ``eye`` toward ``target``."""
+    """Camera (view→world) transform looking from ``eye`` toward ``target``.
+
+    When any input is a float64 numpy array the matrix is computed and
+    returned in host numpy float64 — the large-world path (the TPU-native
+    analog of the reference's ``DOUBLE_PRECISION`` define,
+    ``planet_atmosphere_main.gdshaderinc:24-25``) needs the camera position
+    at full precision so :class:`~..models.scene.Scene` can rebase the world
+    around it before anything is cast to f32 for the device.
+    """
+    if any(isinstance(a, np.ndarray) and a.dtype == np.float64
+           for a in (eye, target, up)):
+        eye = np.asarray(eye, np.float64)
+        fwd = np.asarray(target, np.float64) - eye
+        fwd = fwd / np.linalg.norm(fwd)
+        right = np.cross(fwd, np.asarray(up, np.float64))
+        right = right / np.linalg.norm(right)
+        true_up = np.cross(right, fwd)
+        m = np.eye(4)
+        m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = right, true_up, -fwd, eye
+        return m
     eye = jnp.asarray(eye, jnp.float32)
     target = jnp.asarray(target, jnp.float32)
     up = jnp.asarray(up, jnp.float32)

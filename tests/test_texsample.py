@@ -1,0 +1,183 @@
+"""In-kernel texture sampler (ops/pallas/texsample.py) vs the XLA samplers.
+
+The windowed mode at level 0 computes the *same* trilinear/bilinear
+arithmetic as ``ops/sampling.py`` — those cases must match to f32 noise.
+Straddling/minified batches drop to mip levels; those cases are compared
+against explicitly downsampled references with the documented tolerance.
+Runs in pallas interpret mode on the CPU test mesh (compiled-path parity is
+covered by tools/tpu_checks.py on real hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from godot_atmosphere_shader_tpu.ops.pallas import texsample as ts
+from godot_atmosphere_shader_tpu.ops.sampling import (
+    sample_cubemap_bilinear, sample_trilinear_repeat)
+from godot_atmosphere_shader_tpu.ops.noise import NoiseSpec, sample_noise3
+from godot_atmosphere_shader_tpu.utils.vecmath import Vec3
+
+rng = np.random.default_rng(7)
+
+
+def _tex(s=32):
+    return rng.random((s, s, s)).astype(np.float32)
+
+
+def _run3d(data, meta, x, y, z, window_rows=48):
+    shape = x.shape
+
+    def kern(tab_ref, x_ref, y_ref, z_ref, o_ref):
+        o_ref[:] = ts.sample_tex3d(tab_ref, meta, x_ref[:], y_ref[:], z_ref[:],
+                                   window_rows=window_rows)
+
+    return pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        interpret=True,
+    )(jnp.asarray(data), jnp.asarray(x), jnp.asarray(y), jnp.asarray(z))
+
+
+def _run_latlong(data, meta, d, window_rows=32):
+    shape = d.x.shape
+
+    def kern(tab_ref, dx_ref, dy_ref, dz_ref, o_ref):
+        o_ref[:] = ts.sample_latlong(
+            tab_ref, meta, Vec3(dx_ref[:], dy_ref[:], dz_ref[:]),
+            window_rows=window_rows)
+
+    return pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+        interpret=True,
+    )(jnp.asarray(data), jnp.asarray(d.x), jnp.asarray(d.y), jnp.asarray(d.z))
+
+
+def test_pyramid_packing_roundtrip():
+    tex = _tex(32)
+    data, meta = ts.build_tex3d_pyramid(tex)
+    assert meta.levels[0] == (32, 0)
+    np.testing.assert_array_equal(
+        np.asarray(data).reshape(-1)[:tex.size], tex.ravel())
+    # level 1 = wrap-preserving box filter
+    s1, base1 = meta.levels[1]
+    assert s1 == 16
+    lvl1 = np.asarray(data).reshape(-1)[base1 * 128:base1 * 128 + 16 ** 3]
+    ref = tex.reshape(16, 2, 16, 2, 16, 2).mean(axis=(1, 3, 5))
+    np.testing.assert_allclose(lvl1, ref.ravel(), rtol=1e-6)
+
+
+def test_atan2_asin_poly_accuracy():
+    ang = np.linspace(-np.pi + 1e-3, np.pi - 1e-3, 4001)
+    y, x = np.sin(ang), np.cos(ang)
+    got = np.asarray(ts.atan2_poly(jnp.asarray(y, jnp.float32),
+                                   jnp.asarray(x, jnp.float32)))
+    assert np.abs(got - ang).max() < 5e-5
+    s = np.linspace(-0.999, 0.999, 2001)
+    got = np.asarray(ts.asin_poly(jnp.asarray(s, jnp.float32)))
+    assert np.abs(got - np.arcsin(s)).max() < 1e-4
+
+
+def test_windowed_matches_trilinear_exactly():
+    """A compact, non-straddling footprint stays at level 0 and reproduces
+    the XLA trilinear sampler bit-for-bit (same arithmetic)."""
+    tex = _tex(32)
+    data, meta = ts.build_tex3d_pyramid(tex)
+    # footprint ≈ 2 texels/axis centered mid-texture: no wrap, tiny span
+    cx = 0.47 + 0.06 * rng.random((16, 128)).astype(np.float32)
+    cy = 0.52 + 0.06 * rng.random((16, 128)).astype(np.float32)
+    cz = 0.31 + 0.06 * rng.random((16, 128)).astype(np.float32)
+    got = np.asarray(_run3d(data, meta, cx, cy, cz))
+    ref = np.asarray(sample_trilinear_repeat(jnp.asarray(tex), cx, cy, cz))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_straddling_footprint_uses_floor_level():
+    """A footprint across the wrap seam falls back to the whole-level floor:
+    values equal trilinear sampling of the floor mip level."""
+    tex = _tex(32)
+    data, meta = ts.build_tex3d_pyramid(tex)
+    floor_idx = meta.floor_level(48)
+    s_floor = meta.levels[floor_idx][0]
+    assert s_floor < 32  # the fallback is really a coarser level
+    cx = (0.95 + 0.1 * rng.random((16, 128))).astype(np.float32)  # straddles
+    cy = 0.4 + 0.05 * rng.random((16, 128)).astype(np.float32)
+    cz = 0.6 + 0.05 * rng.random((16, 128)).astype(np.float32)
+    got = np.asarray(_run3d(data, meta, cx, cy, cz))
+    ref_tex = tex
+    for _ in range(floor_idx):
+        h = ref_tex.shape[0] // 2
+        ref_tex = ref_tex.reshape(h, 2, h, 2, h, 2).mean(axis=(1, 3, 5))
+    ref = np.asarray(sample_trilinear_repeat(jnp.asarray(ref_tex), cx, cy, cz))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_minified_batch_selects_coarser_level():
+    """A wide footprint (minified sampling) lands on a mip level — the
+    result matches trilinear on SOME pyramid level (proper filtering), and
+    is far from the aliased base-level values."""
+    tex = _tex(64)
+    data, meta = ts.build_tex3d_pyramid(tex)
+    cx = (0.1 + 0.35 * rng.random((16, 128))).astype(np.float32)
+    cy = (0.1 + 0.35 * rng.random((16, 128))).astype(np.float32)
+    cz = (0.1 + 0.35 * rng.random((16, 128))).astype(np.float32)
+    got = np.asarray(_run3d(data, meta, cx, cy, cz))
+    errs = []
+    ref_tex = tex
+    for lvl in range(len(meta.levels)):
+        ref = np.asarray(sample_trilinear_repeat(
+            jnp.asarray(ref_tex), cx, cy, cz))
+        errs.append(np.abs(got - ref).max())
+        if ref_tex.shape[0] > 8:
+            h = ref_tex.shape[0] // 2
+            ref_tex = ref_tex.reshape(h, 2, h, 2, h, 2).mean(axis=(1, 3, 5))
+    assert min(errs) < 2e-6  # exactly one level's trilinear
+    assert errs[0] > 0.01  # and it is not the (undersampled) base level
+
+
+def test_latlong_matches_direct_bilinear():
+    """Smooth direction batches sample the lat-long map with the same
+    bilinear arithmetic as a direct (u,v) evaluation of level 0."""
+    faces = rng.random((6, 64, 64)).astype(np.float32)
+    data, meta = ts.build_latlong_pyramid(faces, width=256)
+    h0, w0, base0 = meta.levels[0]
+    img = np.asarray(data).reshape(-1)[:h0 * w0].reshape(h0, w0)
+
+    theta = (0.3 + 0.02 * rng.random((16, 128))).astype(np.float32)
+    phi = (0.2 + 0.02 * rng.random((16, 128))).astype(np.float32)
+    d = Vec3(jnp.asarray(np.cos(phi) * np.cos(theta)),
+             jnp.asarray(np.sin(phi)),
+             jnp.asarray(np.cos(phi) * np.sin(theta)))
+    got = np.asarray(_run_latlong(data, meta, d))
+
+    u = (np.arctan2(np.asarray(d.z), np.asarray(d.x)) / (2 * np.pi) + 0.5)
+    v = 0.5 - np.arcsin(np.clip(np.asarray(d.y), -1, 1)) / np.pi
+    tu = u * w0 - 0.5
+    tv = np.clip(v * h0 - 0.5, 0, h0 - 1)
+    u0 = np.floor(tu).astype(int)
+    v0 = np.floor(tv).astype(int)
+    wu, wv = tu - u0, tv - v0
+    v1 = np.minimum(v0 + 1, h0 - 1)
+    ref = (img[v0 % h0, u0 % w0] * (1 - wv) * (1 - wu)
+           + img[v0 % h0, (u0 + 1) % w0] * (1 - wv) * wu
+           + img[v1, u0 % w0] * wv * (1 - wu)
+           + img[v1, (u0 + 1) % w0] * wv * wu)
+    np.testing.assert_allclose(got, ref, atol=3e-4)  # poly-atan2 texel error
+
+
+def test_latlong_build_inverts_cubemap():
+    """The lat-long resample reproduces the cubemap content: re-sampling the
+    map at cubemap-sampled directions round-trips within filter tolerance."""
+    spec = NoiseSpec(noise_type="value", seed=3, frequency=1.0)
+    dirs = ts.latlong_dirs(64, 128)
+    from godot_atmosphere_shader_tpu.ops.sampling import bake_noise_cubemap
+
+    faces = bake_noise_cubemap(spec, (2.0, 2.0, 2.0), 64)
+    data, meta = ts.build_latlong_pyramid(faces, width=256)
+    h0, w0, _ = meta.levels[0]
+    img = np.asarray(data).reshape(-1)[:h0 * w0].reshape(h0, w0)
+    ref = np.asarray(sample_cubemap_bilinear(faces, dirs))
+    # compare at the lat-long grid of a coarser level (away from poles)
+    sub = img.reshape(64, 2, 128, 2).mean(axis=(1, 3))
+    assert np.abs(sub[8:-8] - ref[8:-8]).max() < 0.05

@@ -226,6 +226,26 @@ class VariantConfig:
     # analog of rendering clouds in a reduced-resolution buffer; see
     # ops/clouds.py::render_clouds_lod for the quality envelope.
     cloud_lod: int = 1
+    # raw shape/detail fields evaluated at cloud_shape_knots+1 ray knots and
+    # hat-interpolated per step instead of per-step evaluation — the same
+    # trade as cloud_coverage_interp, extended to the shape texture.  The
+    # in-kernel texture mode requires it (per-step texture sampling would be
+    # ~40 windowed lookups per pixel); procedural fields may opt in.
+    cloud_shape_interp: bool = False
+    cloud_shape_knots: int = 16
+    # -- in-kernel texture mode (megakernel with baked textures) ------------
+    # static pyramid descriptions, set by the scene plumbing when the layer
+    # carries baked textures; the pyramid DATA rides params/extra inputs.
+    # See ops/pallas/texsample.py for the sampling scheme and its quality
+    # envelope (windowed mip selection, whole-level floor on wrap straddle).
+    cloud_shape_tex_meta: object = None
+    cloud_coverage_tex_meta: object = None
+    # VMEM window budget per windowed (trilinear) texture lookup batch, in
+    # rows of 128 texels.  Smaller = faster scans but one mip level coarser
+    # for fine footprints; the wrap-straddle floor level is independent
+    # (texsample.TexMeta.floor_level).  16 measured as the perf/quality
+    # knee at 1080p; raise for close-up texture fidelity.
+    texture_window_rows: int = 16
 
 
 #: The reference's shader variant files, name → config

@@ -336,6 +336,7 @@ class Scene:
         self.large_world = large_world
         self._rebase_origin = None
         self._opaque_host_cache = {}
+        self._tex_pyr_cache = {}
 
     def _large_world_active(self, cam_pos) -> bool:
         if self.large_world is not None:
@@ -392,17 +393,21 @@ class Scene:
         camera, opaque = self._rebased_view(camera)
 
         if renderer != "xla":
-            if self._pallas_eligible(configs):
+            plan = self._pallas_plan(params, configs)
+            if plan is not None:
                 from ..ops.pallas.megakernel import render_scene_pallas
 
+                aug_configs, tex_data = plan
                 # the whole far→near chain (opaque fuse + every atmosphere
                 # layer) traces into ONE jit = one device dispatch per frame
-                return render_scene_pallas(params, configs, camera,
-                                           opaque, height, width)
+                return render_scene_pallas(params, aug_configs, camera,
+                                           opaque, height, width,
+                                           tex_data=tex_data)
             if renderer == "pallas":
                 raise ValueError(
                     "pallas renderer needs analytic optical depth and "
-                    "procedural cloud fields (and a TPU backend)")
+                    "procedural or pyramid-compatible cloud fields "
+                    "(and a TPU backend)")
         return render_frame(params, configs, camera, opaque, height, width)
 
     def _sync_rebase(self, camera: Camera):
@@ -453,6 +458,72 @@ class Scene:
                                  and c.cloud_coverage_noise is not None))
                         for c in configs))
 
+    def _tex_pyramid(self, t, kind):
+        """Packed VMEM mip pyramid for a baked texture (cached by object —
+        one host fetch + pack per texture, like the camera-position cache).
+        Returns (data, meta) or None if the texture can't ride the kernel
+        (non-power-of-two, oversize — the XLA path still handles those)."""
+        if t is None:
+            return None
+        key = (id(t), kind)
+        hit = self._tex_pyr_cache.get(key)
+        if hit is not None and hit[0] is t:
+            return hit[1]
+        from ..ops.pallas.texsample import (build_latlong_pyramid,
+                                            build_tex3d_pyramid)
+
+        try:
+            if kind == "tex3d":
+                built = build_tex3d_pyramid(np.asarray(t))
+            else:
+                built = build_latlong_pyramid(np.asarray(t))
+        except ValueError:
+            built = None
+        self._tex_pyr_cache[key] = (t, built)
+        return built
+
+    def _pallas_plan(self, params, configs):
+        """Megakernel eligibility + texture plumbing.
+
+        Returns ``(aug_configs, tex_data)`` — configs augmented with static
+        pyramid metas (in-kernel texture mode, VERDICT r1 missing #5 /
+        ROADMAP r1 #3) and the per-layer pyramid arrays — or ``None`` when
+        the scene must take the XLA path."""
+        import jax
+
+        if jax.default_backend() != "tpu" or not configs:
+            return None
+        aug, tex = [], []
+        for p, c in zip(params, configs):
+            if c.od_mode != "analytic":
+                return None
+            if not c.clouds_enabled:
+                aug.append(c)
+                tex.append(None)
+                continue
+            entry = []
+            newc = c
+            if c.cloud_shape_noise is None and c.cloud_shape_tex_meta is None:
+                built = self._tex_pyramid(p.cloud_shape_texture, "tex3d")
+                if built is None:
+                    return None
+                newc = dataclasses.replace(
+                    newc, cloud_shape_tex_meta=built[1],
+                    cloud_shape_interp=True)
+                entry.append(built[0])
+            if (c.cloud_coverage_noise is None
+                    and c.cloud_coverage_tex_meta is None):
+                built = self._tex_pyramid(p.cloud_coverage_cubemap, "latlong")
+                if built is None:
+                    return None
+                newc = dataclasses.replace(
+                    newc, cloud_coverage_tex_meta=built[1],
+                    cloud_coverage_interp=True)
+                entry.append(built[0])
+            aug.append(newc)
+            tex.append(tuple(entry) if entry else None)
+        return tuple(aug), tuple(tex)
+
     def render_flight(self, camera: Camera, times, height: int, width: int,
                       cam_transforms=None, renderer: str = "auto",
                       interpret: bool = False):
@@ -498,13 +569,18 @@ class Scene:
             cam_transforms[:, :3, 3] -= origin
             cam_transforms = cam_transforms.astype(np.float32)
 
-        if renderer != "xla" and (interpret or self._pallas_eligible(configs)):
+        plan = self._pallas_plan(params, configs)
+        if interpret and plan is None:
+            plan = (configs, (None,) * len(configs))
+        if renderer != "xla" and plan is not None:
             from ..ops.pallas.megakernel import render_flight_pallas
 
-            return render_flight_pallas(params, tuple(fs_stacks), configs,
+            aug_configs, tex_data = plan
+            return render_flight_pallas(params, tuple(fs_stacks), aug_configs,
                                         camera, opaque, height, width,
                                         cam_stack=cam_transforms,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        tex_data=tex_data)
         if renderer == "pallas":
             raise ValueError(
                 "pallas renderer needs analytic optical depth and "

@@ -56,12 +56,14 @@ def raw_coverage(pos: Vec3, params, coverage_fn: Callable):
 def get_density_full(pos: Vec3, time, settings: CloudSettings, params,
                      shape_fn: Callable, coverage_fn: Callable,
                      low: bool, always_low: bool, coverage_value=None,
-                     pos_len=None):
+                     pos_len=None, shape_value=None, detail_value=None):
     """``get_density_full`` (:31-68).  ``pos`` is in planet model space.
 
     ``coverage_value`` lets the marcher supply a precomputed raw coverage
     (the ray-interpolation fast path) instead of sampling the field here;
     ``pos_len`` a precomputed ``length(pos)`` (shared with the lighting).
+    ``shape_value``/``detail_value`` are the same trade for the raw shape
+    and detail fields (texture mode interpolates them from ray knots).
     """
     if always_low:  # CLOUDS_ALWAYS_LOW_QUALITY (planet_atmosphere_main.gdshaderinc:49)
         low = True
@@ -76,11 +78,14 @@ def get_density_full(pos: Vec3, time, settings: CloudSettings, params,
                 else raw_coverage(pos, params, coverage_fn))
     coverage = coverage - 0.25 * height_ratio + params.cloud_coverage_bias
 
-    shape = lerp(0.5, shape_fn(pos * params.cloud_shape_scale),
-                 params.cloud_shape_factor)
+    shape_raw = (shape_value if shape_value is not None
+                 else shape_fn(pos * params.cloud_shape_scale))
+    shape = lerp(0.5, shape_raw, params.cloud_shape_factor)
 
     if low:
         detail = 0.5
+    elif detail_value is not None:
+        detail = detail_value
     else:
         detail = shape_fn(pos * 15.0 + Vec3(time * 0.01, time * 0.01, time * 0.01))
 
@@ -123,7 +128,8 @@ def get_light_cheap(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, alpha,
 def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
                          settings: CloudSettings, params,
                          shape_fn, coverage_fn, always_low: bool,
-                         coverage_value=None):
+                         coverage_value=None, shape_value=None,
+                         detail_value=None):
     """6-step sun march (:104-151), step length ×1.2 growth, reach 0.15·layer.
 
     The reference picks full vs low density per pixel by ``alpha0 < 0.3``;
@@ -154,14 +160,18 @@ def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
         if always_low:
             density = get_density_full(pos, time, settings, params,
                                        shape_fn, coverage_fn, True, True,
-                                       coverage_value=coverage_value)
+                                       coverage_value=coverage_value,
+                                       shape_value=shape_value)
         else:
             d_full = get_density_full(pos, time, settings, params,
                                       shape_fn, coverage_fn, False, False,
-                                      coverage_value=coverage_value)
+                                      coverage_value=coverage_value,
+                                      shape_value=shape_value,
+                                      detail_value=detail_value)
             d_low = get_density_full(pos, time, settings, params,
                                      shape_fn, coverage_fn, True, False,
-                                     coverage_value=coverage_value)
+                                     coverage_value=coverage_value,
+                                     shape_value=shape_value)
             density = jnp.where(alpha0 < 0.3, d_full, d_low)
         density = density * (step_len * settings.density_scale)
         transmittance = jnp.exp(-density)
@@ -178,12 +188,14 @@ def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
 def get_light(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, jitter, alpha, time,
               settings: CloudSettings, params, shape_fn, coverage_fn,
               raymarched: bool, always_low: bool, pos_len=None,
-              coverage_value=None):
+              coverage_value=None, shape_value=None, detail_value=None):
     """(:153-167): lighting model dispatch + planet shadow ×0.002."""
     if raymarched:
         light = get_light_raymarched(pos, sun_dir, jitter, alpha, time,
                                      settings, params, shape_fn, coverage_fn,
-                                     always_low, coverage_value=coverage_value)
+                                     always_low, coverage_value=coverage_value,
+                                     shape_value=shape_value,
+                                     detail_value=detail_value)
     else:
         light = get_light_cheap(pos, ray_dir, sun_dir, alpha, settings,
                                 pos_len=pos_len)
@@ -209,12 +221,25 @@ def clamp_march_distance(ray_origin: Vec3, t_begin, t_end,
     return t_begin + jnp.minimum(t_end - t_begin, max_d)
 
 
+def _hat_interp(knots, u_scaled):
+    """Piecewise-linear knot combination: Σₖ knotₖ·max(0, 1−|u−k|).
+    ``u_scaled`` is a per-step scalar in [0, len(knots)−1]; the knots are
+    pixel planes — each term is one scalar×plane fma, branch-free."""
+    n = len(knots) - 1
+    out = knots[0] * jnp.maximum(0.0, 1.0 - jnp.abs(u_scaled))
+    for k in range(1, n + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(u_scaled - float(k)))
+        out = out + knots[k] * w
+    return out
+
+
 def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
                    sun_dir: Vec3, time, settings: CloudSettings, params,
                    shape_fn, coverage_fn, steps: int,
                    raymarched_lighting: bool, always_low: bool,
                    coverage_interp: bool = False, coverage_endpoints=None,
-                   coverage_knots: int = 8):
+                   coverage_knots: int = 8, shape_endpoints=None,
+                   detail_endpoints=None):
     """``raymarch_cloud`` (:175-247).  Returns ``(total_light, alpha)``.
 
     Includes the march-distance horizon hack (:181-204): marching distance is
@@ -251,7 +276,7 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
                              params, coverage_fn)
                 for k in range(K + 1))
         n_knots = len(knots) - 1
-        inv_steps_f = 1.0 / float(steps)
+    inv_steps_f = 1.0 / float(steps)
 
     def body(i, carry):
         prod, total_transmittance, total_light = carry
@@ -259,24 +284,26 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
         pos = start + ray_dir * (fi * step_len)
         pos_len = length(pos)  # shared by lighting, shadow and density
         alpha = 1.0 - prod
+        u01 = (fi + 0.5) * inv_steps_f  # step phase along the march
         coverage_value = None
         if coverage_interp:
-            # hat-function combination: cov(u) = Σₖ knotₖ·max(0, 1−|u−k|).
-            # u and the weights are per-step scalars (traced), the knots are
-            # pixel planes — each term is one scalar×plane fma, branch-free.
-            u = (fi + 0.5) * inv_steps_f * float(n_knots)
-            coverage_value = knots[0] * jnp.maximum(0.0, 1.0 - jnp.abs(u))
-            for k in range(1, n_knots + 1):
-                w = jnp.maximum(0.0, 1.0 - jnp.abs(u - float(k)))
-                coverage_value = coverage_value + knots[k] * w
+            coverage_value = _hat_interp(knots, u01 * float(n_knots))
+        shape_value = (None if shape_endpoints is None else
+                       _hat_interp(shape_endpoints,
+                                   u01 * float(len(shape_endpoints) - 1)))
+        detail_value = (None if detail_endpoints is None else
+                        _hat_interp(detail_endpoints,
+                                    u01 * float(len(detail_endpoints) - 1)))
         light = get_light(pos, ray_dir, sun_dir, jitter, alpha, time,
                           settings, params, shape_fn, coverage_fn,
                           raymarched_lighting, always_low, pos_len=pos_len,
-                          coverage_value=coverage_value)
+                          coverage_value=coverage_value,
+                          shape_value=shape_value, detail_value=detail_value)
         density = get_density_full(pos, time, settings, params,
                                    shape_fn, coverage_fn, False, always_low,
                                    coverage_value=coverage_value,
-                                   pos_len=pos_len)
+                                   pos_len=pos_len, shape_value=shape_value,
+                                   detail_value=detail_value)
         density = density * settings.density_scale
 
         transmittance = jnp.exp(-density * step_len)
@@ -302,7 +329,8 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
                   raymarched_lighting: bool, always_low: bool,
                   coverage_interp: bool = False, cull: bool = False,
                   return_raw: bool = False, coverage_knots: int = 8,
-                  coverage_lod: int = 1, normalize_layout=None):
+                  coverage_lod: int = 1, normalize_layout=None,
+                  shape_interp: bool = False, shape_knots: int = 16):
     """``render_clouds`` (:249-324) over whole pixel planes.
 
     ``ray_origin``/``ray_dir``/``sun_dir``/``planet_center`` are **world**
@@ -347,14 +375,40 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
     t_end_m = jnp.where(visible, t_end, t_begin)
     t_end_m = clamp_march_distance(ro_model, t_begin, t_end_m, settings)
 
+    # knot field evaluators, all sampled at the same ray positions; shape
+    # and detail reuse the coverage-knot machinery (texture mode cannot
+    # afford per-step texture sampling, so the raw fields are evaluated at
+    # K knots and hat-interpolated per step — tests/test_shape_interp.py
+    # bounds the deviation)
+    def _cov_field(pos):
+        return raw_coverage(pos, params, coverage_fn)
+
+    def _shape_field(pos):
+        return shape_fn(pos * params.cloud_shape_scale)
+
+    def _detail_field(pos):
+        t = time * 0.01
+        return shape_fn(pos * 15.0 + Vec3(t, t, t))
+
+    def _field_plan():
+        plan = []
+        if coverage_interp:
+            plan.append(("cov", _cov_field, max(int(coverage_knots), 1)))
+        if shape_interp:
+            plan.append(("shp", _shape_field, max(int(shape_knots), 1)))
+            if not always_low:
+                plan.append(("det", _detail_field, max(int(shape_knots), 1)))
+        return plan
+
     def compute_knots():
-        K = max(int(coverage_knots), 1)
+        plan = _field_plan()
         if coverage_lod <= 1:
-            return tuple(
-                raw_coverage(ro_model + rd_model * lerp(t_begin, t_end_m,
-                                                        k / float(K)),
-                             params, coverage_fn)
-                for k in range(K + 1))
+            return {
+                name: tuple(
+                    field(ro_model + rd_model * lerp(t_begin, t_end_m,
+                                                     k / float(K)))
+                    for k in range(K + 1))
+                for name, field, K in plan}
         # knots at reduced vertical resolution: the coverage field is the
         # component the reference itself band-limits (to a 256² cubemap),
         # so sampling it every `coverage_lod` rows and nearest-upsampling
@@ -378,23 +432,31 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
             rkx, rky, rkz, t0_k, t1_k = normalize_layout(
                 (rd_k.x, rd_k.y, rd_k.z, t0_k, t1_k))
             rd_k = Vec3(rkx, rky, rkz)
-        knots_c = tuple(
-            raw_coverage(ro_model + rd_k * lerp(t0_k, t1_k, k / float(K)),
-                         params, coverage_fn)
-            for k in range(K + 1))
-        knots = tuple(jnp.repeat(c, coverage_lod, axis=0) for c in knots_c)
-        if normalize_layout is not None:
-            # same Mosaic layout hazard as render_clouds_lod: reshape/repeat
-            # products poison the march loop — round-trip through VMEM
-            knots = normalize_layout(knots)
-        return knots
+        out = {}
+        for name, field, K in plan:
+            knots_c = tuple(
+                field(ro_model + rd_k * lerp(t0_k, t1_k, k / float(K)))
+                for k in range(K + 1))
+            knots = tuple(jnp.repeat(c, coverage_lod, axis=0)
+                          for c in knots_c)
+            if normalize_layout is not None:
+                # same Mosaic layout hazard as render_clouds_lod:
+                # reshape/repeat products poison the march loop —
+                # round-trip through VMEM
+                knots = normalize_layout(knots)
+            out[name] = knots
+        return out
 
     def march(knots):
+        knots = knots or {}
         light, a = raymarch_cloud(
             ro_model, rd_model, t_begin, t_end_m, jitter, sd_model, time,
             settings, params, shape_fn, coverage_fn, steps,
             raymarched_lighting, always_low, coverage_interp=coverage_interp,
-            coverage_endpoints=knots, coverage_knots=coverage_knots)
+            coverage_endpoints=knots.get("cov"),
+            coverage_knots=coverage_knots,
+            shape_endpoints=knots.get("shp"),
+            detail_endpoints=knots.get("det"))
         return light, a
 
     if cull:
@@ -407,9 +469,11 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
         zero = jnp.zeros_like(t_begin)
 
         def visible_branch():
-            if not coverage_interp:
+            if not (coverage_interp or shape_interp):
                 return march(None)
             knots = compute_knots()
+            if not coverage_interp:
+                return march(knots)
             # conservative per-pixel density bound: the procedural noise
             # bases can overshoot [-1, 1] slightly (perlin ×1.15, simplex's
             # approximate normalization), so shape = lerp(0.5, s, factor) is
@@ -420,8 +484,9 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
             # threshold; tiles of cloud-free sky skip the march.
             shape_bound = 0.5 + 0.575 * jnp.abs(params.cloud_shape_factor)
             detail_term = 0.1 if always_low else 0.0
-            cov_max = knots[0]
-            for cov_k in knots[1:]:
+            cov_knots = knots["cov"]
+            cov_max = cov_knots[0]
+            for cov_k in cov_knots[1:]:
                 cov_max = jnp.maximum(cov_max, cov_k)
             cov_max = cov_max + params.cloud_coverage_bias
             max_density = (shape_bound - detail_term
@@ -433,8 +498,8 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
         cloud_light, cloud_alpha = lax.cond(
             jnp.any(visible), visible_branch, lambda: (zero, zero))
     else:
-        cloud_light, cloud_alpha = march(compute_knots()
-                                         if coverage_interp else None)
+        cloud_light, cloud_alpha = march(
+            compute_knots() if (coverage_interp or shape_interp) else None)
 
     if return_raw:
         return cloud_light, cloud_alpha, visible
@@ -450,7 +515,8 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
                       raymarched_lighting: bool, always_low: bool,
                       lod: int, coverage_interp: bool = False,
                       cull: bool = False, coverage_knots: int = 8,
-                      coverage_lod: int = 1, normalize_layout=None):
+                      coverage_lod: int = 1, normalize_layout=None,
+                      shape_interp: bool = False, shape_knots: int = 16):
     """Vertical cloud LOD: march once per ``lod``-row group, blend full-res.
 
     The TPU analog of rendering clouds into a reduced-resolution buffer
@@ -518,7 +584,8 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
         shape_fn, coverage_fn, steps, raymarched_lighting, always_low,
         coverage_interp=coverage_interp, cull=cull, return_raw=True,
         coverage_knots=coverage_knots, coverage_lod=coverage_lod,
-        normalize_layout=normalize_layout)
+        normalize_layout=normalize_layout, shape_interp=shape_interp,
+        shape_knots=shape_knots)
 
     return apply_cloud_blend(albedo, alpha, up(light_c), up(alpha_c),
                              up(visible_c.astype(jnp.float32)) > 0.5,

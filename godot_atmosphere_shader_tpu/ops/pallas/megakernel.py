@@ -174,10 +174,36 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
     aspect = width / height
 
     needs_scratch = _needs_lod_scratch(config)
+    n_tex = _n_tex_inputs(config)
 
     def kernel(scal_ref, blue_ref, *refs):
         out_ld = None
         normalize_layout = None
+        # in-kernel texture mode: VMEM-resident mip pyramids, sampled via
+        # the windowed lane-gather scheme (ops/pallas/texsample.py)
+        shape_fn = coverage_fn = None
+        if n_tex:
+            from . import texsample as _ts
+
+            tex_refs = refs[:n_tex]
+            refs = refs[n_tex:]
+            w_rows = config.texture_window_rows
+            k = 0
+            if config.cloud_shape_tex_meta is not None:
+                shape_ref = tex_refs[k]
+                k += 1
+                meta_s = config.cloud_shape_tex_meta
+
+                def shape_fn(p, _r=shape_ref, _m=meta_s):
+                    return _ts.sample_tex3d(_r, _m, p.x, p.y, p.z,
+                                            window_rows=w_rows)
+            if config.cloud_coverage_tex_meta is not None:
+                cov_ref = tex_refs[k]
+                meta_c = config.cloud_coverage_tex_meta
+
+                def coverage_fn(p, _r=cov_ref, _m=meta_c):
+                    return _ts.sample_latlong(_r, _m, normalize(p),
+                                              window_rows=w_rows)
         if needs_scratch:
             # VMEM scratch for the coarse cloud planes: a store+load
             # round-trip resets the strided layout the LOD downsample
@@ -301,7 +327,8 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
 
         rgb, alpha, mask = shade_atmosphere(
             params_view, config, ray_origin, ray_dir, linear_depth, jitter,
-            planet_center, normalize_layout=normalize_layout)
+            planet_center, normalize_layout=normalize_layout,
+            shape_fn=shape_fn, coverage_fn=coverage_fn)
 
         a = jnp.where(mask, alpha, 0.0)
         out_r[:] = bg.x * (1.0 - a) + rgb.x * a
@@ -318,19 +345,49 @@ def _needs_lod_scratch(config: VariantConfig) -> bool:
     """Whether the kernel needs the VMEM layout-normalization scratch: any
     cloud LOD reshape/repeat product that would otherwise enter the march
     loop in a strided Mosaic layout (measured 8× whole-kernel slowdown)."""
+    any_interp = config.cloud_coverage_interp or config.cloud_shape_interp
     return config.clouds_enabled and (
         config.cloud_lod > 1
-        or (config.cloud_coverage_interp and config.cloud_coverage_lod > 1))
+        or (any_interp and config.cloud_coverage_lod > 1))
+
+
+def _scratch_rows(config: VariantConfig) -> int:
+    """Knot-plane slots the normalization scratch must hold: the largest
+    single normalize_layout call (one field's knots, or the 5 LOD planes)."""
+    rows = 5
+    if config.cloud_coverage_interp:
+        rows = max(rows, config.cloud_coverage_knots + 1)
+    if config.cloud_shape_interp:
+        rows = max(rows, config.cloud_shape_knots + 1)
+    return rows
+
+
+def _n_tex_inputs(config: VariantConfig) -> int:
+    return int(config.cloud_shape_tex_meta is not None) + int(
+        config.cloud_coverage_tex_meta is not None)
 
 
 def _check_config(config: VariantConfig):
     if config.od_mode != "analytic":
         raise ValueError("megakernel requires od_mode='analytic' "
                          "(LUT gathers are unsupported in-kernel)")
-    if config.clouds_enabled and (config.cloud_shape_noise is None
-                                  or config.cloud_coverage_noise is None):
-        raise ValueError("megakernel clouds need procedural field specs "
-                         "(cloud_shape_noise / cloud_coverage_noise)")
+    if not config.clouds_enabled:
+        return
+    shape_ok = (config.cloud_shape_noise is not None
+                or config.cloud_shape_tex_meta is not None)
+    cov_ok = (config.cloud_coverage_noise is not None
+              or config.cloud_coverage_tex_meta is not None)
+    if not (shape_ok and cov_ok):
+        raise ValueError("megakernel clouds need procedural field specs or "
+                         "packed texture pyramids (scene.render builds the "
+                         "pyramids automatically for baked textures)")
+    if config.cloud_shape_tex_meta is not None and not config.cloud_shape_interp:
+        raise ValueError("in-kernel texture mode requires cloud_shape_interp "
+                         "(per-step texture sampling is unaffordable)")
+    if (config.cloud_coverage_tex_meta is not None
+            and not config.cloud_coverage_interp):
+        raise ValueError("in-kernel texture mode requires "
+                         "cloud_coverage_interp")
 
 
 def _build_values(params: AtmosphereParams, camera: Camera,
@@ -391,7 +448,8 @@ def _build_values(params: AtmosphereParams, camera: Camera,
 def _render_pallas_jit(params, camera, opaque, config, height, width, block,
                        with_opaque, n_spheres, n_boxes, interpret=False,
                        background=None, row0=0.0, out_height=None,
-                       jitter_band=None, want_depth=False, stacked=False):
+                       jitter_band=None, want_depth=False, stacked=False,
+                       tex_data=None):
     bh, bw = block
     out_height = height if out_height is None else out_height
     layout = _build_layout(n_spheres, n_boxes)
@@ -424,6 +482,17 @@ def _render_pallas_jit(params, camera, opaque, config, height, width, block,
                       memory_space=pltpu.VMEM)),
     ]
     args = [scalars, blue]
+    n_tex = _n_tex_inputs(config)
+    if n_tex:
+        if tex_data is None or len(tex_data) != n_tex:
+            raise ValueError("config declares texture pyramids but tex_data "
+                             f"supplied {0 if tex_data is None else len(tex_data)}"
+                             f" of {n_tex}")
+        for t in tex_data:
+            rows = int(t.shape[0])
+            in_specs.append(pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(jnp.asarray(t, jnp.float32))
     if with_background:
         in_specs += [tile_spec] * 4
         bg_color, bg_ld = background
@@ -437,8 +506,7 @@ def _render_pallas_jit(params, camera, opaque, config, height, width, block,
         if bh % (config.cloud_lod * config.cloud_coverage_lod):
             raise ValueError("cloud_lod·cloud_coverage_lod must divide the "
                              "block height")
-        rows = max(5, config.cloud_coverage_knots + 1
-                   if config.cloud_coverage_interp else 5)
+        rows = _scratch_rows(config)
         scratch_shapes = [pltpu.VMEM((rows, bh // config.cloud_lod, bw),
                                      jnp.float32)]
     outs = pl.pallas_call(
@@ -520,22 +588,24 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
 
 
 def _chain_layers(params_seq, configs, camera, opaque, height, width, block,
-                  with_opaque, n_spheres, n_boxes, interpret=False):
+                  with_opaque, n_spheres, n_boxes, interpret=False,
+                  tex_data=None):
     """Trace the far→near multi-planet chain (SURVEY.md §3.2 sorting):
     first layer fuses the opaque pass, later layers composite over the
     previous color using the carried linear depth."""
     n = len(configs)
+    tex = tex_data or (None,) * n
     out = _render_pallas_jit(
         params_seq[0], camera, opaque, configs[0], height, width, block,
         with_opaque, n_spheres, n_boxes, interpret=interpret,
-        want_depth=n > 1, stacked=True)
+        want_depth=n > 1, stacked=True, tex_data=tex[0])
     alpha = out["alpha"]
     for i in range(1, n):
         out = _render_pallas_jit(
             params_seq[i], camera, None, configs[i], height, width, block,
             False, 0, 0, interpret=interpret,
             background=(out["color"], out["linear_depth"]),
-            want_depth=i < n - 1, stacked=True)
+            want_depth=i < n - 1, stacked=True, tex_data=tex[i])
         # match the XLA path's alpha semantics: max over layers
         alpha = jnp.maximum(alpha, out["alpha"])
     out["alpha"] = alpha
@@ -547,16 +617,17 @@ def _chain_layers(params_seq, configs, camera, opaque, height, width, block,
     static_argnames=("configs", "height", "width", "block", "with_opaque",
                      "n_spheres", "n_boxes", "interpret"))
 def _render_scene_jit(params_seq, camera, opaque, configs, height, width,
-                      block, with_opaque, n_spheres, n_boxes, interpret=False):
+                      block, with_opaque, n_spheres, n_boxes, interpret=False,
+                      tex_data=None):
     return _chain_layers(params_seq, configs, camera, opaque, height, width,
                          block, with_opaque, n_spheres, n_boxes,
-                         interpret=interpret)
+                         interpret=interpret, tex_data=tex_data)
 
 
 def render_scene_pallas(params_seq, configs, camera: Camera,
                         opaque: Optional[OpaqueScene], height: int, width: int,
                         block: Tuple[int, int] = (32, 128),
-                        interpret: bool = False) -> dict:
+                        interpret: bool = False, tex_data=None) -> dict:
     """Render a whole multi-layer scene in ONE device dispatch.
 
     Chaining the layers inside a single jit matters on tunneled TPU setups:
@@ -569,7 +640,9 @@ def render_scene_pallas(params_seq, configs, camera: Camera,
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
     return _render_scene_jit(tuple(params_seq), camera, opaque, tuple(configs),
                              height, width, block, opaque is not None,
-                             n_spheres, n_boxes, interpret=interpret)
+                             n_spheres, n_boxes, interpret=interpret,
+                             tex_data=None if tex_data is None
+                             else tuple(tex_data))
 
 
 @functools.partial(
@@ -578,7 +651,7 @@ def render_scene_pallas(params_seq, configs, camera: Camera,
                      "n_spheres", "n_boxes", "interpret"))
 def _render_flight_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
                        configs, height, width, block, with_opaque, n_spheres,
-                       n_boxes, interpret=False):
+                       n_boxes, interpret=False, tex_data=None):
     import dataclasses as _dc
 
     def one_frame(per_frame):
@@ -588,7 +661,7 @@ def _render_flight_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
         cam = _dc.replace(camera, view_to_world=vtw)
         out = _chain_layers(ps, configs, cam, opaque, height, width, block,
                             with_opaque, n_spheres, n_boxes,
-                            interpret=interpret)
+                            interpret=interpret, tex_data=tex_data)
         return out["color"], out["alpha"]
 
     colors, alphas = jax.lax.map(one_frame, (fs_stacks, cam_stack))
@@ -598,7 +671,8 @@ def _render_flight_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
 def render_flight_pallas(params_seq, fs_stacks, configs, camera: Camera,
                          opaque: Optional[OpaqueScene], height: int,
                          width: int, block: Tuple[int, int] = (32, 128),
-                         cam_stack=None, interpret: bool = False) -> dict:
+                         cam_stack=None, interpret: bool = False,
+                         tex_data=None) -> dict:
     """Render K frames in ONE dispatch via an in-graph ``lax.map`` loop.
 
     The moral equivalent of a pre-recorded command buffer: for animation /
@@ -621,4 +695,6 @@ def render_flight_pallas(params_seq, fs_stacks, configs, camera: Camera,
                               jnp.asarray(cam_stack, jnp.float32), camera,
                               opaque, tuple(configs), height, width, block,
                               opaque is not None, n_spheres, n_boxes,
-                              interpret=interpret)
+                              interpret=interpret,
+                              tex_data=None if tex_data is None
+                              else tuple(tex_data))

@@ -78,14 +78,18 @@ class TexMeta:
     rows: int
 
     def floor_level(self, window_rows: int) -> int:
-        """Finest level whose whole data fits the window (the wrap-safe
-        fallback).  Guaranteed to exist: the coarsest level is ≤4 rows."""
+        """Finest level whose whole data can be scanned as the wrap-safe
+        fallback.  Decoupled from the windowed-mode budget (floor scans are
+        1-lookup nearest, so a 32-row floor scan costs about as much as a
+        16-row 8-lookup trilinear window): the floor never drops below the
+        32-row level even when ``window_rows`` is smaller."""
+        budget = max(window_rows, 32) * LANES
         for i, lv in enumerate(self.levels):
             if self.kind == "tex3d":
                 n = lv[0] ** 3
             else:
                 n = lv[0] * lv[1]
-            if n <= window_rows * LANES:
+            if n <= budget:
                 return i
         return len(self.levels) - 1
 
@@ -221,25 +225,47 @@ def _window_lookup(tab_ref, start_row, rel_lin_weights, window_rows: int,
 
     ``rel_lin_weights``: list of ``(rel_lin, weight)`` — flat indices
     relative to ``start_row·128`` plus their blend weights.  Returns
-    Σ weightᵢ·tab[start_row·128 + rel_linᵢ].  One dynamic-start row window,
-    then per window row: broadcast + one lane-gather per lookup whose row
-    matches (``tpu.dynamic_gather``), mask-accumulated.  ~30 cycles per
-    (row × lookup) at (32, 128) — the measured 6 G lookups/s primitive.
+    Σ weightᵢ·tab[start_row·128 + rel_linᵢ].  Per window row: one
+    dynamic-start single-row load, broadcast, then one lane-gather per
+    lookup whose row matches (``tpu.dynamic_gather``), mask-accumulated —
+    the measured ~6 G lookups/s primitive.  The row loop is a
+    ``lax.fori_loop``, NOT unrolled: a frame's worth of batches at
+    window_rows=48 unrolled to a Mosaic program too large to compile
+    (>30 min through the remote service); rolled it compiles in normal time
+    at the same runtime cost (the body is load-bound either way).
     """
     if window_rows > PAD_ROWS:
         raise ValueError(f"window_rows {window_rows} exceeds the pyramid "
                          f"padding ({PAD_ROWS})")
+    if window_rows % 8:
+        raise ValueError("window_rows must be a multiple of 8 (vreg chunks)")
     start_row = jnp.clip(start_row, 0, rows - window_rows)
-    win = tab_ref[pl.dslice(start_row, window_rows), :]
     shape = rel_lin_weights[0][0].shape
-    acc = jnp.zeros(shape, jnp.float32)
     rcs = [(lin >> 7, lin & 127, w) for lin, w in rel_lin_weights]
-    for k in range(window_rows):
-        rowk = jax.lax.broadcast_in_dim(win[k, :], shape, (len(shape) - 1,))
-        for r, c, w in rcs:
-            g = jnp.take_along_axis(rowk, c, axis=len(shape) - 1)
-            acc = acc + jnp.where(r == k, g * w, 0.0)
-    return acc
+
+    # rows actually addressed: spans are usually far below the static window
+    # budget (the budget is sized for corner margins at the worst level), so
+    # the chunk loop trip count is dynamic
+    r_hi = rcs[0][0]
+    for r, _, _ in rcs[1:]:
+        r_hi = jnp.maximum(r_hi, r)
+    n_chunks = (jnp.clip(jnp.max(r_hi), 0, window_rows - 1) >> 3) + 1
+
+    def body(j, acc):
+        # one (8,128) vreg load per 8 rows — per-row loads dominated the
+        # first cut (measured ~5x whole-batch overhead); static sublane
+        # broadcasts off one loaded vreg are near-free
+        chunk = tab_ref[pl.dslice(start_row + (j << 3), 8), :]
+        for kk in range(8):
+            rowk = jnp.broadcast_to(chunk[kk:kk + 1, :], shape)
+            k = (j << 3) + kk
+            for r, c, w in rcs:
+                g = jnp.take_along_axis(rowk, c, axis=len(shape) - 1)
+                acc = acc + jnp.where(r == k, g * w, 0.0)
+        return acc
+
+    return jax.lax.fori_loop(0, n_chunks, body,
+                             jnp.zeros(shape, jnp.float32))
 
 
 def _level_scalars(meta: TexMeta, fits, floor_idx: int):
@@ -297,50 +323,68 @@ def sample_tex3d(tab_ref, meta: TexMeta, x, y, z, window_rows: int = 48):
     floor_idx = meta.floor_level(window_rows)
     sel, windowed = _level_scalars(meta, fits, floor_idx)
 
-    S = _select_by_level(sel, [lv[0] for lv in meta.levels])
-    base_row = _select_by_level(sel, [lv[1] for lv in meta.levels])
-    Si = S.astype(jnp.int32)
+    def windowed_branch():
+        # finest fitting level, full trilinear within one contiguous window
+        S = _select_by_level(sel, [lv[0] for lv in meta.levels])
+        base_row = _select_by_level(sel, [lv[1] for lv in meta.levels])
+        Si = S.astype(jnp.int32)
 
-    def prep(f):
-        t = f * S - 0.5
-        i0 = jnp.floor(t)
-        frac = t - i0
-        i0 = i0.astype(jnp.int32)
-        i1 = i0 + 1
-        # whole-level mode wraps; windowed mode guaranteed in-range
-        wrap = jnp.logical_not(windowed)
-        i0 = jnp.where(wrap, jnp.bitwise_and(i0, Si - 1), i0)
-        i1 = jnp.where(wrap, jnp.bitwise_and(i1, Si - 1), i1)
-        return i0, i1, frac
+        def prep(f):
+            t = f * S - 0.5
+            i0 = jnp.floor(t)
+            frac = t - i0
+            return i0.astype(jnp.int32), frac
 
-    x0, x1, wx = prep(fx)
-    y0, y1, wy = prep(fy)
-    z0, z1, wz = prep(fz)
+        x0, wx = prep(fx)
+        y0, wy = prep(fy)
+        z0, wz = prep(fz)
+        x1, y1, z1 = x0 + 1, y0 + 1, z0 + 1  # no wrap by construction
 
-    lin00 = (z0 * Si + y0) * Si  # x added per corner
-    lin01 = (z0 * Si + y1) * Si
-    lin10 = (z1 * Si + y0) * Si
-    lin11 = (z1 * Si + y1) * Si
+        lin00 = (z0 * Si + y0) * Si  # x added per corner
+        lin01 = (z0 * Si + y1) * Si
+        lin10 = (z1 * Si + y0) * Si
+        lin11 = (z1 * Si + y1) * Si
 
-    # window start: min corner row (whole-level mode starts at the level base)
-    lin_min = jnp.min(jnp.minimum(jnp.minimum(lin00, lin01),
-                                  jnp.minimum(lin10, lin11)) + jnp.minimum(x0, x1))
-    start_in_level = jnp.where(windowed, lin_min >> 7, 0)
-    base_row_i = base_row.astype(jnp.int32)
-    start_row = base_row_i + start_in_level
-    off = start_in_level << 7
+        lin_min = jnp.min(jnp.minimum(jnp.minimum(lin00, lin01),
+                                      jnp.minimum(lin10, lin11)) + x0)
+        start_in_level = lin_min >> 7
+        start_row = base_row.astype(jnp.int32) + start_in_level
+        off = start_in_level << 7
 
-    lookups = [
-        (lin00 + x0 - off, (1 - wz) * (1 - wy) * (1 - wx)),
-        (lin00 + x1 - off, (1 - wz) * (1 - wy) * wx),
-        (lin01 + x0 - off, (1 - wz) * wy * (1 - wx)),
-        (lin01 + x1 - off, (1 - wz) * wy * wx),
-        (lin10 + x0 - off, wz * (1 - wy) * (1 - wx)),
-        (lin10 + x1 - off, wz * (1 - wy) * wx),
-        (lin11 + x0 - off, wz * wy * (1 - wx)),
-        (lin11 + x1 - off, wz * wy * wx),
-    ]
-    return _window_lookup(tab_ref, start_row, lookups, window_rows, meta.rows)
+        lookups = [
+            (lin00 + x0 - off, (1 - wz) * (1 - wy) * (1 - wx)),
+            (lin00 + x1 - off, (1 - wz) * (1 - wy) * wx),
+            (lin01 + x0 - off, (1 - wz) * wy * (1 - wx)),
+            (lin01 + x1 - off, (1 - wz) * wy * wx),
+            (lin10 + x0 - off, wz * (1 - wy) * (1 - wx)),
+            (lin10 + x1 - off, wz * (1 - wy) * wx),
+            (lin11 + x0 - off, wz * wy * (1 - wx)),
+            (lin11 + x1 - off, wz * wy * wx),
+        ]
+        return _window_lookup(tab_ref, start_row, lookups, window_rows,
+                              meta.rows)
+
+    def floor_branch():
+        # wrap-straddling batch: scattered flat indices, so scan the whole
+        # (static) floor level — and sample NEAREST, not trilinear: one
+        # lookup instead of eight.  Floor batches are exactly the ones where
+        # the sampling rate is ≥1 texel/sample (a straddle means the batch
+        # spans a whole period), so point sampling matches the information
+        # content; the 8× cheaper scan is what keeps texture mode within
+        # its perf envelope (measured: floor scans dominate far views).
+        S_f, base_f = meta.levels[floor_idx]
+
+        def near(f):
+            return jnp.bitwise_and(jnp.floor(f * S_f).astype(jnp.int32),
+                                   S_f - 1)
+
+        lin = (near(fz) * S_f + near(fy)) * S_f + near(fx)
+        level_rows = max((S_f ** 3 + LANES - 1) // LANES, 8)
+        one = jnp.ones(lin.shape, jnp.float32)
+        return _window_lookup(tab_ref, jnp.int32(base_f), [(lin, one)],
+                              level_rows, meta.rows)
+
+    return jax.lax.cond(windowed, windowed_branch, floor_branch)
 
 
 def sample_latlong(tab_ref, meta: TexMeta, d: Vec3, window_rows: int = 32):
@@ -367,38 +411,51 @@ def sample_latlong(tab_ref, meta: TexMeta, d: Vec3, window_rows: int = 32):
     floor_idx = meta.floor_level(window_rows)
     sel, windowed = _level_scalars(meta, fits, floor_idx)
 
-    Hs = _select_by_level(sel, [lv[0] for lv in meta.levels])
-    Ws = _select_by_level(sel, [lv[1] for lv in meta.levels])
-    base_row = _select_by_level(sel, [lv[2] for lv in meta.levels])
-    Wi = Ws.astype(jnp.int32)
-    Hi = Hs.astype(jnp.int32)
+    def windowed_branch():
+        Hs = _select_by_level(sel, [lv[0] for lv in meta.levels])
+        Ws = _select_by_level(sel, [lv[1] for lv in meta.levels])
+        base_row = _select_by_level(sel, [lv[2] for lv in meta.levels])
+        Wi = Ws.astype(jnp.int32)
+        Hi = Hs.astype(jnp.int32)
 
-    tu = fu * Ws - 0.5
-    u0 = jnp.floor(tu)
-    wu = tu - u0
-    u0 = u0.astype(jnp.int32)
-    u1 = u0 + 1
-    wrap = jnp.logical_not(windowed)
-    u0 = jnp.where(wrap, jnp.bitwise_and(u0, Wi - 1), u0)
-    u1 = jnp.where(wrap, jnp.bitwise_and(u1, Wi - 1), u1)
+        tu = fu * Ws - 0.5
+        u0f = jnp.floor(tu)
+        wu = tu - u0f
+        u0 = u0f.astype(jnp.int32)
+        u1 = u0 + 1  # no wrap by construction
 
-    tv = v * Hs - 0.5
-    v0f = jnp.clip(jnp.floor(tv), 0.0, Hs - 1.0)
-    wv = jnp.clip(tv - v0f, 0.0, 1.0)
-    v0 = v0f.astype(jnp.int32)
-    v1 = jnp.minimum(v0 + 1, Hi - 1)
+        tv = v * Hs - 0.5
+        v0f = jnp.clip(jnp.floor(tv), 0.0, Hs - 1.0)
+        wv = jnp.clip(tv - v0f, 0.0, 1.0)
+        v0 = v0f.astype(jnp.int32)
+        v1 = jnp.minimum(v0 + 1, Hi - 1)
 
-    lin0 = v0 * Wi
-    lin1 = v1 * Wi
-    lin_min = jnp.min(jnp.minimum(lin0, lin1) + jnp.minimum(u0, u1))
-    start_in_level = jnp.where(windowed, lin_min >> 7, 0)
-    start_row = base_row.astype(jnp.int32) + start_in_level
-    off = start_in_level << 7
+        lin0 = v0 * Wi
+        lin1 = v1 * Wi
+        lin_min = jnp.min(jnp.minimum(lin0, lin1) + u0)
+        start_in_level = lin_min >> 7
+        start_row = base_row.astype(jnp.int32) + start_in_level
+        off = start_in_level << 7
 
-    lookups = [
-        (lin0 + u0 - off, (1 - wv) * (1 - wu)),
-        (lin0 + u1 - off, (1 - wv) * wu),
-        (lin1 + u0 - off, wv * (1 - wu)),
-        (lin1 + u1 - off, wv * wu),
-    ]
-    return _window_lookup(tab_ref, start_row, lookups, window_rows, meta.rows)
+        lookups = [
+            (lin0 + u0 - off, (1 - wv) * (1 - wu)),
+            (lin0 + u1 - off, (1 - wv) * wu),
+            (lin1 + u0 - off, wv * (1 - wu)),
+            (lin1 + u1 - off, wv * wu),
+        ]
+        return _window_lookup(tab_ref, start_row, lookups, window_rows,
+                              meta.rows)
+
+    def floor_branch():
+        # azimuth-seam straddle: nearest sample from the static floor level
+        # (same 8x-cheaper scan rationale as the 3D sampler)
+        H_f, W_f, base_f = meta.levels[floor_idx]
+        un = jnp.bitwise_and(jnp.floor(fu * W_f).astype(jnp.int32), W_f - 1)
+        vn = jnp.clip(jnp.floor(v * H_f).astype(jnp.int32), 0, H_f - 1)
+        lin = vn * W_f + un
+        level_rows = max((H_f * W_f + LANES - 1) // LANES, 8)
+        one = jnp.ones(lin.shape, jnp.float32)
+        return _window_lookup(tab_ref, jnp.int32(base_f), [(lin, one)],
+                              level_rows, meta.rows)
+
+    return jax.lax.cond(windowed, windowed_branch, floor_branch)

@@ -88,6 +88,7 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                      ray_origin: Vec3, ray_dir: Vec3,
                      linear_depth: jnp.ndarray, jitter: jnp.ndarray,
                      planet_center: Vec3, normalize_layout=None,
+                     shape_fn=None, coverage_fn=None,
                      ) -> Tuple[Vec3, jnp.ndarray, jnp.ndarray]:
     """The pure elementwise shading core — shared verbatim by the XLA path
     and the Pallas megakernel (same jnp ops, bit-identical math).
@@ -127,34 +128,40 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                 od_mode=config.od_mode, lut=params.optical_depth_lut)
 
         if config.clouds_enabled:
-            shape_fn = make_shape_fn(config, params)
-            coverage_fn = make_coverage_fn(config, params)
+            # the megakernel overrides the field closures with in-kernel
+            # texture samplers (texture mode); default = build from config
+            sfn = shape_fn or make_shape_fn(config, params)
+            cfn = coverage_fn or make_coverage_fn(config, params)
             if config.cloud_lod > 1:
                 from ..ops.clouds import render_clouds_lod
 
                 rgb, alpha = render_clouds_lod(
                     rgb, alpha, planet_center, ray_origin, ray_dir,
                     linear_depth, params.world_to_model, sun_dir, jitter,
-                    params.time, params, shape_fn, coverage_fn,
+                    params.time, params, sfn, cfn,
                     config.cloud_steps, config.raymarched_lighting,
                     config.clouds_always_low_quality, config.cloud_lod,
                     coverage_interp=config.cloud_coverage_interp,
                     cull=config.tile_cull,
                     coverage_knots=config.cloud_coverage_knots,
                     coverage_lod=config.cloud_coverage_lod,
-                    normalize_layout=normalize_layout)
+                    normalize_layout=normalize_layout,
+                    shape_interp=config.cloud_shape_interp,
+                    shape_knots=config.cloud_shape_knots)
             else:
                 rgb, alpha = render_clouds(
                     rgb, alpha, planet_center, ray_origin, ray_dir,
                     linear_depth, params.world_to_model, sun_dir, jitter,
-                    params.time, params, shape_fn, coverage_fn,
+                    params.time, params, sfn, cfn,
                     config.cloud_steps, config.raymarched_lighting,
                     config.clouds_always_low_quality,
                     coverage_interp=config.cloud_coverage_interp,
                     cull=config.tile_cull,
                     coverage_knots=config.cloud_coverage_knots,
                     coverage_lod=config.cloud_coverage_lod,
-                    normalize_layout=normalize_layout)
+                    normalize_layout=normalize_layout,
+                    shape_interp=config.cloud_shape_interp,
+                    shape_knots=config.cloud_shape_knots)
         return rgb.x, rgb.y, rgb.z, alpha
 
     if config.tile_cull:

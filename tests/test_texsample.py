@@ -94,8 +94,9 @@ def test_windowed_matches_trilinear_exactly():
 
 
 def test_straddling_footprint_uses_floor_level():
-    """A footprint across the wrap seam falls back to the whole-level floor:
-    values equal trilinear sampling of the floor mip level."""
+    """A footprint across the wrap seam falls back to the whole-level floor,
+    sampled NEAREST (one lookup instead of eight — straddling batches span a
+    full period, so point sampling matches the information content)."""
     tex = _tex(32)
     data, meta = ts.build_tex3d_pyramid(tex)
     floor_idx = meta.floor_level(48)
@@ -109,7 +110,11 @@ def test_straddling_footprint_uses_floor_level():
     for _ in range(floor_idx):
         h = ref_tex.shape[0] // 2
         ref_tex = ref_tex.reshape(h, 2, h, 2, h, 2).mean(axis=(1, 3, 5))
-    ref = np.asarray(sample_trilinear_repeat(jnp.asarray(ref_tex), cx, cy, cz))
+
+    def near(c):
+        return np.floor((c - np.floor(c)) * s_floor).astype(int) % s_floor
+
+    ref = ref_tex[near(cz), near(cy), near(cx)]
     np.testing.assert_allclose(got, ref, atol=2e-6)
 
 

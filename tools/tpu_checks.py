@@ -101,6 +101,54 @@ def check_variant(variant: str, pose: str, h: int, w: int) -> dict:
     return result
 
 
+def check_texture_mode(h: int, w: int) -> dict:
+    """Compiled texture mode: the megakernel with baked-texture pyramids.
+
+    Not a pixel-parity check against the XLA path — the in-kernel sampler
+    is a different (mip/lat-long/knot) approximation by design, PARITY #12.
+    Asserts the compiled kernel is finite, in-range, non-trivial, and
+    structurally agrees with the XLA exact-sampling path (lit-pixel mask
+    match and mean-brightness proximity, same bounds as
+    tests/test_texture_mode.py holds in interpret mode)."""
+    from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
+                                                         demo_camera)
+
+    scene = build_demo_scene(variant="clouds", procedural=False)
+    cam = demo_camera("avatar")
+    scene.update(0.5, cam)
+    out = scene.render(cam, h, w)  # auto-routes to the texture megakernel
+    got_color = np.asarray(out["color"])
+    got_alpha = np.asarray(out["alpha"])
+
+    import dataclasses
+
+    for a in scene.atmospheres:
+        a.set_custom_shader(dataclasses.replace(
+            a.config, cloud_shape_interp=True, cloud_coverage_interp=True))
+    ref = scene.render(cam, h, w, renderer="xla")
+    ref_color = np.asarray(ref["color"])
+
+    lit_k = got_color.mean(-1) > 0.02
+    lit_x = ref_color.mean(-1) > 0.02
+    agreement = float((lit_k == lit_x).mean())
+    result = {
+        "variant": "clouds+textures",
+        "pose": "avatar",
+        "lit_mask_agreement": agreement,
+        "mean_brightness_delta": abs(float(got_color.mean())
+                                     - float(ref_color.mean())),
+        "finite": bool(np.isfinite(got_color).all()
+                       and np.isfinite(got_alpha).all()),
+        "alpha_in_range": bool((got_alpha >= 0).all()
+                               and (got_alpha <= 1.0 + 1e-6).all()),
+        "nontrivial": bool(got_alpha.max() > 0.01),
+    }
+    result["pass"] = (result["finite"] and result["alpha_in_range"]
+                      and result["nontrivial"] and agreement > 0.9
+                      and result["mean_brightness_delta"] < 0.05)
+    return result
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("-o", "--output", default="TPU_CHECKS.json")
@@ -125,6 +173,12 @@ def main() -> int:
         print(f"{status:4s} {variant:16s} {pose:9s} "
               f"color diff {r['max_color_diff']:.2e} "
               f"alpha diff {r['max_alpha_diff']:.2e}")
+    r = check_texture_mode(h, w)
+    results.append(r)
+    status = "ok" if r["pass"] else "FAIL"
+    print(f"{status:4s} {r['variant']:16s} {r['pose']:9s} "
+          f"lit-mask agreement {r['lit_mask_agreement']:.3f} "
+          f"mean delta {r['mean_brightness_delta']:.3f}")
 
     verdict = {
         "device": device,

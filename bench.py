@@ -62,6 +62,9 @@ CONFIGS = [
     ("3", "scattering+clouds 1080p", "clouds", "avatar", 1080, 1920, False, False),
     ("4", "clouds_high interior 1080p", "clouds_high", "interior", 1080, 1920, False, False),
     ("5", "clouds_high_rm multi-planet 1080p", "clouds_high_rm", "space", 1080, 1920, True, False),
+    # in-kernel texture mode (r2): baked 64^3 shape + 256^2 coverage riding
+    # the megakernel as VMEM mip pyramids (PARITY #12)
+    ("6", "clouds_high 1080p baked textures", "clouds_high:tex", "avatar", 1080, 1920, False, False),
 ]
 
 
@@ -69,7 +72,9 @@ def _bench_config(variant, pose, h, w, multi, flight):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene, demo_camera
     from godot_atmosphere_shader_tpu.models.scene import PlanetAtmosphere
 
-    scene = build_demo_scene(variant=variant, procedural=True)
+    procedural = not variant.endswith(":tex")
+    variant = variant.split(":")[0]
+    scene = build_demo_scene(variant=variant, procedural=procedural)
     if multi:
         scene.atmospheres.append(PlanetAtmosphere(
             planet_radius=10.0, atmosphere_height=2.0,

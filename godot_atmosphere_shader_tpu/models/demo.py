@@ -82,8 +82,20 @@ def demo_variant(name: str = "clouds", procedural: bool = True,
     import dataclasses
 
     cfg = VARIANTS[name]
-    if not cfg.clouds_enabled or not procedural:
+    if not cfg.clouds_enabled:
         return cfg
+    if not procedural:
+        # texture mode gets the same measured fast profile as procedural
+        # (without it the texture kernel marched at full resolution while
+        # procedural ran the lod-2 profile — measured 2.5x of the gap
+        # between the two modes)
+        return dataclasses.replace(
+            cfg,
+            cloud_coverage_interp=True,
+            cloud_coverage_knots=8,
+            cloud_coverage_lod=2,
+            cloud_lod=2,
+        )
     shape = {"value": SHAPE_NOISE_FAST,
              "cellular": SHAPE_NOISE_FAST_CELL}[shape_basis]
     return dataclasses.replace(

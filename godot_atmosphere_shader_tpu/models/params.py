@@ -246,6 +246,11 @@ class VariantConfig:
     # (texsample.TexMeta.floor_level).  16 measured as the perf/quality
     # knee at 1080p; raise for close-up texture fidelity.
     texture_window_rows: int = 16
+    # knots evaluated per stacked texture-sampler call: amortizes per-batch
+    # fixed costs (level select, windowed/floor cond, scan load+broadcast)
+    # G-ways at the cost of the group sharing one mip level (the union
+    # footprint).  Applied only when texture metas are present.
+    texture_knot_group: int = 8
 
 
 #: The reference's shader variant files, name → config

@@ -474,9 +474,13 @@ class Scene:
 
         try:
             if kind == "tex3d":
-                built = build_tex3d_pyramid(np.asarray(t))
+                data, meta = build_tex3d_pyramid(np.asarray(t))
             else:
-                built = build_latlong_pyramid(np.asarray(t))
+                data, meta = build_latlong_pyramid(np.asarray(t))
+            # device-resident ONCE: leaving the pyramid as host numpy would
+            # re-upload ~1-2 MiB through the tunnel on every frame (measured
+            # as a ~10-20 ms/frame constant on axon setups)
+            built = (jnp.asarray(data), meta)
         except ValueError:
             built = None
         self._tex_pyr_cache[key] = (t, built)

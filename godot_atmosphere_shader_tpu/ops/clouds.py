@@ -330,7 +330,8 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
                   coverage_interp: bool = False, cull: bool = False,
                   return_raw: bool = False, coverage_knots: int = 8,
                   coverage_lod: int = 1, normalize_layout=None,
-                  shape_interp: bool = False, shape_knots: int = 16):
+                  shape_interp: bool = False, shape_knots: int = 16,
+                  knot_group: int = 1):
     """``render_clouds`` (:249-324) over whole pixel planes.
 
     ``ray_origin``/``ray_dir``/``sun_dir``/``planet_center`` are **world**
@@ -400,14 +401,41 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
                 plan.append(("det", _detail_field, max(int(shape_knots), 1)))
         return plan
 
+    def _eval_knots(field, K, ro, rd, t0, t1):
+        """Evaluate ``field`` at the K+1 ray knots.
+
+        ``knot_group`` > 1 stacks G adjacent knots' position planes along
+        the sublane axis and evaluates them in ONE field call — for the
+        in-kernel texture samplers this amortizes the per-batch fixed costs
+        (footprint/level-select scalars, the windowed/floor cond, the scan
+        loop's load+broadcast) G-ways; a straddling segment then costs one
+        whole-level scan for the group instead of G.  The positions are
+        identical either way, so results are bit-equal for elementwise
+        (procedural) fields; texture fields may pick one coarser mip for
+        the group (the union footprint) — part of the measured texture-mode
+        envelope (tests/test_texture_mode.py)."""
+        pts = [ro + rd * lerp(t0, t1, k / float(K)) for k in range(K + 1)]
+        G = max(int(knot_group), 1)
+        if G <= 1:
+            return tuple(field(p) for p in pts)
+        h = pts[0].x.shape[0]
+        out = []
+        for g0 in range(0, K + 1, G):
+            grp = pts[g0:g0 + G]
+            stacked = Vec3(
+                jnp.concatenate([p.x for p in grp], axis=0),
+                jnp.concatenate([p.y for p in grp], axis=0),
+                jnp.concatenate([p.z for p in grp], axis=0))
+            vals = field(stacked)
+            out.extend(vals[i * h:(i + 1) * h] for i in range(len(grp)))
+        return tuple(out)
+
     def compute_knots():
         plan = _field_plan()
         if coverage_lod <= 1:
             return {
-                name: tuple(
-                    field(ro_model + rd_model * lerp(t_begin, t_end_m,
-                                                     k / float(K)))
-                    for k in range(K + 1))
+                name: _eval_knots(field, K, ro_model, rd_model,
+                                  t_begin, t_end_m)
                 for name, field, K in plan}
         # knots at reduced vertical resolution: the coverage field is the
         # component the reference itself band-limits (to a 256² cubemap),
@@ -434,9 +462,7 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
             rd_k = Vec3(rkx, rky, rkz)
         out = {}
         for name, field, K in plan:
-            knots_c = tuple(
-                field(ro_model + rd_k * lerp(t0_k, t1_k, k / float(K)))
-                for k in range(K + 1))
+            knots_c = _eval_knots(field, K, ro_model, rd_k, t0_k, t1_k)
             knots = tuple(jnp.repeat(c, coverage_lod, axis=0)
                           for c in knots_c)
             if normalize_layout is not None:
@@ -516,7 +542,8 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
                       lod: int, coverage_interp: bool = False,
                       cull: bool = False, coverage_knots: int = 8,
                       coverage_lod: int = 1, normalize_layout=None,
-                      shape_interp: bool = False, shape_knots: int = 16):
+                      shape_interp: bool = False, shape_knots: int = 16,
+                      knot_group: int = 1):
     """Vertical cloud LOD: march once per ``lod``-row group, blend full-res.
 
     The TPU analog of rendering clouds into a reduced-resolution buffer
@@ -585,7 +612,7 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
         coverage_interp=coverage_interp, cull=cull, return_raw=True,
         coverage_knots=coverage_knots, coverage_lod=coverage_lod,
         normalize_layout=normalize_layout, shape_interp=shape_interp,
-        shape_knots=shape_knots)
+        shape_knots=shape_knots, knot_group=knot_group)
 
     return apply_cloud_blend(albedo, alpha, up(light_c), up(alpha_c),
                              up(visible_c.astype(jnp.float32)) > 0.5,

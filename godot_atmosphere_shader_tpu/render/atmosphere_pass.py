@@ -132,6 +132,11 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
             # texture samplers (texture mode); default = build from config
             sfn = shape_fn or make_shape_fn(config, params)
             cfn = coverage_fn or make_coverage_fn(config, params)
+            # knot grouping only pays (and only changes results) for the
+            # in-kernel texture samplers
+            kgroup = (config.texture_knot_group
+                      if (shape_fn is not None or coverage_fn is not None)
+                      else 1)
             if config.cloud_lod > 1:
                 from ..ops.clouds import render_clouds_lod
 
@@ -147,7 +152,8 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                     coverage_lod=config.cloud_coverage_lod,
                     normalize_layout=normalize_layout,
                     shape_interp=config.cloud_shape_interp,
-                    shape_knots=config.cloud_shape_knots)
+                    shape_knots=config.cloud_shape_knots,
+                    knot_group=kgroup)
             else:
                 rgb, alpha = render_clouds(
                     rgb, alpha, planet_center, ray_origin, ray_dir,
@@ -161,7 +167,8 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                     coverage_lod=config.cloud_coverage_lod,
                     normalize_layout=normalize_layout,
                     shape_interp=config.cloud_shape_interp,
-                    shape_knots=config.cloud_shape_knots)
+                    shape_knots=config.cloud_shape_knots,
+                    knot_group=kgroup)
         return rgb.x, rgb.y, rgb.z, alpha
 
     if config.tile_cull:

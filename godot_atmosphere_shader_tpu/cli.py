@@ -103,11 +103,25 @@ def cmd_fly(args) -> None:
     import time as _time
 
     t0 = _time.perf_counter()
-    for i, cam in enumerate(cams):
-        scene.update(i / 60.0, cam)
-        out = scene.render(cam, args.size, args.size)
-        img = np.asarray(linear_to_srgb(np.clip(np.asarray(out["color"]), 0, 1)))
-        write_png(f"{args.output_prefix}{i:04d}.png", to_uint8(img))
+    if args.taa:
+        # temporally-accumulated flight (one in-graph dispatch): shimmer
+        # drops ~4x vs independent frames — see ops/pallas/taa.py
+        cams = list(cams)
+        stack = np.stack([np.asarray(c.view_to_world) for c in cams])
+        times = [i / 60.0 for i in range(len(cams))]
+        out = scene.render_flight(cams[0], times, args.size, args.size,
+                                  cam_transforms=stack, taa_blend=0.15)
+        colors = np.asarray(out["color"])
+        for i in range(colors.shape[0]):
+            img = np.asarray(linear_to_srgb(np.clip(colors[i], 0, 1)))
+            write_png(f"{args.output_prefix}{i:04d}.png", to_uint8(img))
+    else:
+        for i, cam in enumerate(cams):
+            scene.update(i / 60.0, cam)
+            out = scene.render(cam, args.size, args.size)
+            img = np.asarray(linear_to_srgb(
+                np.clip(np.asarray(out["color"]), 0, 1)))
+            write_png(f"{args.output_prefix}{i:04d}.png", to_uint8(img))
     dt = _time.perf_counter() - t0
     print(f"rendered {args.frames} frames to {args.output_prefix}NNNN.png "
           f"in {dt:.1f}s")
@@ -220,6 +234,8 @@ def main(argv=None) -> int:
     f.add_argument("--frames", type=int, default=8)
     f.add_argument("--size", type=int, default=256)
     f.add_argument("-o", "--output-prefix", default="flight_")
+    f.add_argument("--taa", action="store_true",
+                   help="temporal accumulation (reprojected history blend)")
     f.set_defaults(fn=cmd_fly)
 
     t = sub.add_parser("fit", help="inverse rendering: fit params to a target")

@@ -246,6 +246,12 @@ class VariantConfig:
     # (texsample.TexMeta.floor_level).  16 measured as the perf/quality
     # knee at 1080p; raise for close-up texture fidelity.
     texture_window_rows: int = 16
+    # per-frame jitter decorrelation for temporal accumulation: offsets the
+    # blue-noise plane by frac(time*phi-multiple) so accumulated frames
+    # sample different march offsets/dither (the reference is stuck with a
+    # static pattern because it cannot reproject,
+    # planet_atmosphere_main.gdshaderinc:39-48)
+    temporal_jitter: bool = False
     # knots evaluated per stacked texture-sampler call: amortizes per-batch
     # fixed costs (level select, windowed/floor cond, scan load+broadcast)
     # G-ways at the cost of the group sharing one mip level (the union

@@ -530,7 +530,7 @@ class Scene:
 
     def render_flight(self, camera: Camera, times, height: int, width: int,
                       cam_transforms=None, renderer: str = "auto",
-                      interpret: bool = False):
+                      interpret: bool = False, taa_blend=None):
         """Render K frames in ONE device dispatch (in-graph ``lax.map``).
 
         The animation/flight-path fast mode: per-frame host dispatch
@@ -577,14 +577,29 @@ class Scene:
         if interpret and plan is None:
             plan = (configs, (None,) * len(configs))
         if renderer != "xla" and plan is not None:
+            aug_configs, tex_data = plan
+            if taa_blend is not None:
+                # temporally-accumulated flight (ops/pallas/taa.py) — a
+                # capability the reference engine lacks (no reprojection)
+                from ..ops.pallas.megakernel import render_flight_taa
+
+                return render_flight_taa(params, tuple(fs_stacks),
+                                         aug_configs, camera, opaque,
+                                         height, width,
+                                         cam_stack=cam_transforms,
+                                         blend=float(taa_blend),
+                                         interpret=interpret,
+                                         tex_data=tex_data)
             from ..ops.pallas.megakernel import render_flight_pallas
 
-            aug_configs, tex_data = plan
             return render_flight_pallas(params, tuple(fs_stacks), aug_configs,
                                         camera, opaque, height, width,
                                         cam_stack=cam_transforms,
                                         interpret=interpret,
                                         tex_data=tex_data)
+        if taa_blend is not None:
+            raise ValueError("taa_blend needs the pallas flight path "
+                             "(TPU backend or interpret=True)")
         if renderer == "pallas":
             raise ValueError(
                 "pallas renderer needs analytic optical depth and "

@@ -324,6 +324,12 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
         planet_center = Vec3(pc[0], pc[1], pc[2])
 
         jitter = blue_ref[:]
+        if config.temporal_jitter:
+            # golden-ratio sequence keyed on scene time: successive frames
+            # get decorrelated jitter, so TAA accumulation converges
+            toff = s.scalar("time") * 38.196601125
+            jitter = jitter + (toff - jnp.floor(toff))
+            jitter = jitter - jnp.floor(jitter)
 
         rgb, alpha, mask = shade_atmosphere(
             params_view, config, ray_origin, ray_dir, linear_depth, jitter,
@@ -589,23 +595,25 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
 
 def _chain_layers(params_seq, configs, camera, opaque, height, width, block,
                   with_opaque, n_spheres, n_boxes, interpret=False,
-                  tex_data=None):
+                  tex_data=None, want_depth=False):
     """Trace the far→near multi-planet chain (SURVEY.md §3.2 sorting):
     first layer fuses the opaque pass, later layers composite over the
-    previous color using the carried linear depth."""
+    previous color using the carried linear depth.  ``want_depth`` forces
+    the final layer to emit linear depth too (the TAA resolve needs it)."""
     n = len(configs)
     tex = tex_data or (None,) * n
     out = _render_pallas_jit(
         params_seq[0], camera, opaque, configs[0], height, width, block,
         with_opaque, n_spheres, n_boxes, interpret=interpret,
-        want_depth=n > 1, stacked=True, tex_data=tex[0])
+        want_depth=n > 1 or want_depth, stacked=True, tex_data=tex[0])
     alpha = out["alpha"]
     for i in range(1, n):
         out = _render_pallas_jit(
             params_seq[i], camera, None, configs[i], height, width, block,
             False, 0, 0, interpret=interpret,
             background=(out["color"], out["linear_depth"]),
-            want_depth=i < n - 1, stacked=True, tex_data=tex[i])
+            want_depth=i < n - 1 or want_depth, stacked=True,
+            tex_data=tex[i])
         # match the XLA path's alpha semantics: max over layers
         alpha = jnp.maximum(alpha, out["alpha"])
     out["alpha"] = alpha
@@ -666,6 +674,78 @@ def _render_flight_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
 
     colors, alphas = jax.lax.map(one_frame, (fs_stacks, cam_stack))
     return {"color": colors, "alpha": alphas}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("configs", "height", "width", "block", "with_opaque",
+                     "n_spheres", "n_boxes", "interpret"))
+def _render_flight_taa_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
+                           configs, height, width, block, with_opaque,
+                           n_spheres, n_boxes, blend, interpret=False,
+                           tex_data=None):
+    import dataclasses as _dc
+
+    from .taa import taa_resolve
+
+    k = fs_stacks[0].shape[0]
+
+    def step(carry, xs):
+        history, prev_vtw = carry
+        i, fss, vtw = xs
+        ps = tuple(_dc.replace(p, frame_state=fs)
+                   for p, fs in zip(params_seq, fss))
+        cam = _dc.replace(camera, view_to_world=vtw)
+        out = _chain_layers(ps, configs, cam, opaque, height, width, block,
+                            with_opaque, n_spheres, n_boxes,
+                            interpret=interpret, tex_data=tex_data,
+                            want_depth=True)
+        cam_prev = _dc.replace(camera, view_to_world=prev_vtw)
+        # frame 0 has no history: blend 1.0 keeps it purely current
+        b = jnp.where(i == 0, 1.0, jnp.float32(blend))
+        resolved = taa_resolve(out["color"], out["linear_depth"], history,
+                               cam_prev, cam, b, height, width,
+                               interpret=interpret)
+        return (resolved, vtw), (resolved, out["alpha"])
+
+    init = (jnp.zeros((height, width, 3), jnp.float32), cam_stack[0])
+    xs = (jnp.arange(k), jnp.stack(fs_stacks, 1), cam_stack)
+    _, (colors, alphas) = jax.lax.scan(step, init, xs)
+    return {"color": colors, "alpha": alphas}
+
+
+def render_flight_taa(params_seq, fs_stacks, configs, camera: Camera,
+                      opaque: Optional[OpaqueScene], height: int, width: int,
+                      block: Tuple[int, int] = (32, 128), cam_stack=None,
+                      blend: float = 0.15, interpret: bool = False,
+                      tex_data=None) -> dict:
+    """Temporally-accumulated flight rendering — the capability the
+    reference engine cannot express (no reprojection,
+    ``planet_atmosphere_main.gdshaderinc:39-48``).
+
+    Renders K frames in one dispatch like :func:`render_flight_pallas`, but
+    each output frame blends the current jittered render with the previous
+    RESOLVED frame reprojected through the camera motion
+    (``ops/pallas/taa.py``).  Per-frame jitter decorrelation is forced
+    (``temporal_jitter``), so accumulated sequences converge toward a
+    higher-step render at low-step cost; bounds in ``tests/test_taa.py``.
+    """
+    import dataclasses as _dc
+
+    configs = tuple(_dc.replace(c, temporal_jitter=True) for c in configs)
+    for c in configs:
+        _check_config(c)
+    n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
+    n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
+    if cam_stack is None:
+        k = int(fs_stacks[0].shape[0])
+        cam_stack = jnp.broadcast_to(camera.view_to_world, (k, 4, 4))
+    return _render_flight_taa_jit(
+        tuple(params_seq), tuple(fs_stacks),
+        jnp.asarray(cam_stack, jnp.float32), camera, opaque, tuple(configs),
+        height, width, block, opaque is not None, n_spheres, n_boxes,
+        jnp.float32(blend), interpret=interpret,
+        tex_data=None if tex_data is None else tuple(tex_data))
 
 
 def render_flight_pallas(params_seq, fs_stacks, configs, camera: Camera,

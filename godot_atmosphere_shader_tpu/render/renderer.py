@@ -56,11 +56,17 @@ def render_frame_impl(atmospheres: Sequence[AtmosphereParams],
         linear_depth = jnp.full((height, width), 1e7, jnp.float32)
 
     jitter = jitter_plane(height, width)
+    resolved = [p.resolve_frame_state() for p in atmospheres]
+    if any(c.temporal_jitter for c in configs):
+        # same golden-ratio time offset as the megernel's temporal_jitter
+        # (megakernel.py) so the two paths stay comparable under TAA
+        toff = resolved[0].time * 38.196601125
+        jitter = jitter + (toff - jnp.floor(toff))
+        jitter = jitter - jnp.floor(jitter)
 
     color = bg
     alpha_out = jnp.zeros((height, width), jnp.float32)
-    for params, config in zip(atmospheres, configs):
-        params = params.resolve_frame_state()
+    for params, config in zip(resolved, configs):
         rgb, alpha, mask = atmosphere_pass(
             params, config, camera, height, width,
             jitter=jitter, linear_depth=linear_depth)

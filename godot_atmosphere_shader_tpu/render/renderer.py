@@ -58,7 +58,7 @@ def render_frame_impl(atmospheres: Sequence[AtmosphereParams],
     jitter = jitter_plane(height, width)
     resolved = [p.resolve_frame_state() for p in atmospheres]
     if any(c.temporal_jitter for c in configs):
-        # same golden-ratio time offset as the megernel's temporal_jitter
+        # same golden-ratio time offset as the megakernel's temporal_jitter
         # (megakernel.py) so the two paths stay comparable under TAA
         toff = resolved[0].time * 38.196601125
         jitter = jitter + (toff - jnp.floor(toff))

@@ -80,6 +80,27 @@ def test_kernel_texture_mode_renders(renders):
     assert img_kernel.mean() > 0.01  # not a black frame
 
 
+def test_kernel_texture_mode_golden(renders):
+    """Per-pixel golden of the interpret-mode texture kernel: pins the
+    sampling scheme (mip selection, floor mode, lat-long regrid) against
+    silent regressions.  Regenerate deliberately with
+    ``python tools/make_goldens.py --texture-mode`` after intentional
+    changes."""
+    import os
+
+    from godot_atmosphere_shader_tpu.utils.image_io import read_png, to_uint8
+
+    img_kernel, _ = renders
+    path = os.path.join(os.path.dirname(__file__), "golden_images",
+                        "texture_mode_avatar.png")
+    golden = read_png(path).astype(np.int16)
+    got = to_uint8(np.clip(img_kernel, 0.0, 1.0)).astype(np.int16)
+    diff = np.abs(got - golden)
+    assert diff.max() <= 2, (
+        f"{int((diff > 2).sum())} px exceed tolerance, "
+        f"max diff {int(diff.max())}")
+
+
 def test_kernel_matches_xla_structurally(renders):
     """Same silhouette and brightness structure as the exact-sampling XLA
     path; detail differs by the documented pyramid/regrid trades."""

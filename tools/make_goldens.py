@@ -103,5 +103,38 @@ def main() -> None:
     print(f"wrote {path} + {img_dir}: {list(doc)}")
 
 
+
+
+
+def make_texture_mode_golden():
+    """Golden PNG for the interpret-mode texture kernel
+    (tests/test_texture_mode.py::test_kernel_texture_mode_golden)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from test_texture_mode import RES, _plan_by_hand, _texture_scene
+
+    from godot_atmosphere_shader_tpu.ops.pallas.megakernel import (
+        render_scene_pallas)
+    from godot_atmosphere_shader_tpu.utils.image_io import to_uint8, write_png
+
+    scene, cam = _texture_scene()
+    order, params, configs = scene._sorted_layers(cam)
+    aug_configs, tex_data = _plan_by_hand(scene, params, configs)
+    out = render_scene_pallas(params, aug_configs, cam, scene.opaque, *RES,
+                              interpret=True, tex_data=tex_data)
+    img = np.clip(np.asarray(out["color"]), 0.0, 1.0)
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "golden_images",
+        "texture_mode_avatar.png")
+    write_png(path, to_uint8(img))
+    print(f"wrote {path}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--texture-mode" in sys.argv:
+        make_texture_mode_golden()
+    else:
+        main()

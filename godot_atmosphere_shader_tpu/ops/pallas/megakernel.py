@@ -538,7 +538,7 @@ def render_band_pallas(params: AtmosphereParams, config: VariantConfig,
                        camera: Camera, opaque: Optional[OpaqueScene],
                        height: int, width: int, row0, band_height: int,
                        block: Tuple[int, int] = (32, 128),
-                       interpret: bool = False) -> dict:
+                       interpret: bool = False, tex_data=None) -> dict:
     """Render rows ``[row0, row0 + band_height)`` of a ``height``-row frame.
 
     The building block for multi-chip row sharding (``row0`` may be traced —
@@ -560,7 +560,7 @@ def render_band_pallas(params: AtmosphereParams, config: VariantConfig,
         params, camera, opaque, config, height, width, (bh, bw),
         opaque is not None, n_spheres, n_boxes, interpret=interpret,
         row0=jnp.asarray(row0, jnp.float32), out_height=band_height,
-        jitter_band=jitter_band, want_depth=True)
+        jitter_band=jitter_band, want_depth=True, tex_data=tex_data)
     return {"color": jnp.stack([r, g, b], axis=-1), "alpha": a,
             "linear_depth": ld}
 
@@ -570,7 +570,8 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
                         height: int, width: int,
                         block: Tuple[int, int] = (32, 128),
                         interpret: bool = False,
-                        background=None, want_depth: bool = False) -> dict:
+                        background=None, want_depth: bool = False,
+                        tex_data=None) -> dict:
     """Render one frame with the fused megakernel.
 
     Returns ``{"color": (H, W, 3), "alpha": (H, W), "linear_depth": (H, W)}``.
@@ -590,7 +591,8 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
     return _render_pallas_jit(
         params, camera, opaque, config, height, width, (bh, bw),
         opaque is not None, n_spheres, n_boxes, interpret=interpret,
-        background=background, want_depth=want_depth, stacked=True)
+        background=background, want_depth=want_depth, stacked=True,
+        tex_data=tex_data)
 
 
 def _chain_layers(params_seq, configs, camera, opaque, height, width, block,

@@ -100,9 +100,12 @@ def render_frame_pallas_sharded(params: AtmosphereParams,
                                 height: int, width: int,
                                 mesh: Mesh,
                                 block: Tuple[int, int] = (32, 128),
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                tex_data=None) -> jnp.ndarray:
     """Row-shard the framebuffer over ``mesh`` with the fused Pallas
     megakernel running per shard — the production multi-chip path.
+    ``tex_data`` (texture-mode pyramids) is closed over, i.e. replicated to
+    every shard — the same zero-traffic broadcast as the params.
 
     The megakernel generates rays from global pixel indices, so each shard
     renders its own row range by offsetting the camera's NDC window: we
@@ -126,7 +129,7 @@ def render_frame_pallas_sharded(params: AtmosphereParams,
         idx = jax.lax.axis_index(axis)
         out = render_band_pallas(params, config, camera, opaque, height,
                                  width, idx * h_local, h_local, block,
-                                 interpret=interpret)
+                                 interpret=interpret, tex_data=tex_data)
         return out["color"]
 
     body = shard_map(

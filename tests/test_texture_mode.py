@@ -131,6 +131,25 @@ def test_kernel_matches_xla_structurally(renders):
     assert abs(float(img_kernel.mean()) - float(img_xla.mean())) < 0.05
 
 
+def test_knot_group_is_lossless_at_demo_scale():
+    """texture_knot_group=8 (the perf default) is BIT-IDENTICAL to per-knot
+    evaluation on the demo scene: adjacent knots' footprints resolve to the
+    same mip level anyway (far batches all floor, interior batches all hit
+    the same windowed level), so the group's shared level changes nothing.
+    Measured at both poses; pinned here at the avatar pose."""
+    outs = {}
+    for g in (1, 8):
+        scene, cam = _texture_scene()
+        _, params, configs = scene._sorted_layers(cam)
+        aug, tex = _plan_by_hand(scene, params, configs)
+        aug = tuple(dataclasses.replace(c, texture_knot_group=g)
+                    for c in aug)
+        out = render_scene_pallas(params, aug, cam, scene.opaque, *RES,
+                                  interpret=True, tex_data=tex)
+        outs[g] = np.asarray(out["color"])
+    np.testing.assert_array_equal(outs[1], outs[8])
+
+
 def test_check_config_requires_interp():
     scene, cam = _texture_scene()
     _, params, configs = scene._sorted_layers(cam)

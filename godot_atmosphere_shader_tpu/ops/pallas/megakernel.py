@@ -693,7 +693,7 @@ def _render_flight_taa_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
     k = fs_stacks[0].shape[0]
 
     def step(carry, xs):
-        history, prev_vtw = carry
+        history, hist_depth, prev_vtw = carry
         i, fss, vtw = xs
         ps = tuple(_dc.replace(p, frame_state=fs)
                    for p, fs in zip(params_seq, fss))
@@ -705,12 +705,13 @@ def _render_flight_taa_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
         cam_prev = _dc.replace(camera, view_to_world=prev_vtw)
         # frame 0 has no history: blend 1.0 keeps it purely current
         b = jnp.where(i == 0, 1.0, jnp.float32(blend))
-        resolved = taa_resolve(out["color"], out["linear_depth"], history,
-                               cam_prev, cam, b, height, width,
-                               interpret=interpret)
-        return (resolved, vtw), (resolved, out["alpha"])
+        resolved, new_depth = taa_resolve(
+            out["color"], out["linear_depth"], history, cam_prev, cam, b,
+            height, width, interpret=interpret, history_depth=hist_depth)
+        return (resolved, new_depth, vtw), (resolved, out["alpha"])
 
-    init = (jnp.zeros((height, width, 3), jnp.float32), cam_stack[0])
+    init = (jnp.zeros((height, width, 3), jnp.float32),
+            jnp.full((height, width), 1.0e7, jnp.float32), cam_stack[0])
     xs = (jnp.arange(k), jnp.stack(fs_stacks, 1), cam_stack)
     _, (colors, alphas) = jax.lax.scan(step, init, xs)
     return {"color": colors, "alpha": alphas}

@@ -55,9 +55,9 @@ WIN_COLS = 384
 
 
 def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
-                hr_ref, hg_ref, hb_ref,
+                hr_ref, hg_ref, hb_ref, hd_ref,
                 or_ref, og_ref, ob_ref,
-                wr, wg, wb, sems, *, height, width, bh, bw,
+                wr, wg, wb, wd, sems, *, height, width, bh, bw,
                 win_rows, win_cols):
     aspect = width / height
 
@@ -119,7 +119,7 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
     rx0 = pl.multiple_of((rx0 >> 7) << 7, 128)
     copies = []
     for i, (h_ref, w_ref) in enumerate(((hr_ref, wr), (hg_ref, wg),
-                                        (hb_ref, wb))):
+                                        (hb_ref, wb), (hd_ref, wd))):
         dma = pltpu.make_async_copy(
             h_ref.at[pl.dslice(ry0, win_rows), pl.dslice(rx0, win_cols)],
             w_ref, sems.at[i])
@@ -179,6 +179,15 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
 
     hist = [bilinear(w) for w in (wr, wg, wb)]
 
+    # depth validity (disocclusion rejection): the reprojected history depth
+    # must agree with the surface we see now — a big relative mismatch means
+    # this pixel shows something that was hidden (or absent) last frame, so
+    # its history is a ghost.  The neighborhood clamp bounds the residual
+    # cases (sub-threshold parallax).
+    hist_ld = bilinear(wd)
+    depth_ok = jnp.abs(hist_ld - ld) <= 0.2 * jnp.maximum(ld, 1e-3)
+    valid = jnp.logical_and(valid, depth_ok)
+
     # ---- neighborhood clamp (3x3 of the current tile) ----
     outs = (or_ref, og_ref, ob_ref)
     for cur_ref, h, out_ref in zip((cr_ref, cg_ref, cb_ref), hist, outs):
@@ -218,10 +227,12 @@ def _pack_taa_scalars(cam_prev: Camera, cam_cur: Camera, blend) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
 def taa_resolve(cur_color, linear_depth, history, cam_prev: Camera,
                 cam_cur: Camera, blend, height: int, width: int,
-                interpret: bool = False):
+                interpret: bool = False, history_depth=None):
     """Blend ``cur_color`` (H, W, 3) with ``history`` reprojected from
-    ``cam_prev`` to ``cam_cur``.  Returns the resolved (H, W, 3) frame
-    (which becomes the next frame's history)."""
+    ``cam_prev`` to ``cam_cur``.  Returns ``(resolved, depth)`` — the
+    resolved (H, W, 3) frame and the (clamped) linear depth to carry as the
+    next frame's ``history_depth``.  ``history_depth=None`` (first frame)
+    disables the disocclusion check by comparing depth against itself."""
     bh, bw = 32, 128
     win_rows = min(WIN_ROWS, (height // 8) * 8)
     win_cols = min(WIN_COLS, (width // 128) * 128)
@@ -237,17 +248,21 @@ def taa_resolve(cur_color, linear_depth, history, cam_prev: Camera,
     kern = functools.partial(_taa_kernel, height=height, width=width,
                              bh=bh, bw=bw, win_rows=win_rows,
                              win_cols=win_cols)
+    ld_clamped = jnp.minimum(linear_depth, 1.0e7)
+    if history_depth is None:
+        history_depth = ld_clamped
     outs = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[pl.BlockSpec((1, scalars.shape[1]), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
-                  tile, tile, tile, tile, full, full, full],
+                  tile, tile, tile, tile, full, full, full, full],
         out_specs=[tile] * 3,
         out_shape=[jax.ShapeDtypeStruct((height, width), jnp.float32)] * 3,
-        scratch_shapes=[pltpu.VMEM((win_rows, win_cols), jnp.float32)] * 3
-        + [pltpu.SemaphoreType.DMA((3,))],
+        scratch_shapes=[pltpu.VMEM((win_rows, win_cols), jnp.float32)] * 4
+        + [pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
     )(scalars, cur_color[..., 0], cur_color[..., 1], cur_color[..., 2],
-      linear_depth, history[..., 0], history[..., 1], history[..., 2])
-    return jnp.stack(outs, axis=-1)
+      linear_depth, history[..., 0], history[..., 1], history[..., 2],
+      jnp.minimum(history_depth, 1.0e7))
+    return jnp.stack(outs, axis=-1), ld_clamped

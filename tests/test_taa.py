@@ -38,7 +38,7 @@ def test_identity_reprojection_blends_exactly():
     depth = jnp.full((H, W), 50.0, jnp.float32)
     cam = Camera.create(look_at((0.0, 0.0, 0.0), (0.0, 0.0, -1.0)))
     out = np.asarray(taa_resolve(cur, depth, hist, cam, cam, 0.25, H, W,
-                                 interpret=True))
+                                 interpret=True)[0])
     # same camera: history samples land on their own pixels; away from the
     # clamp the result is the exact lerp
     ref = 0.25 * np.asarray(cur) + 0.75 * np.clip(
@@ -79,7 +79,7 @@ def test_translated_camera_fetches_shifted_history():
     cam_prev = Camera.create(look_at((dxw, 0.0, 0.0), (dxw, 0.0, -1.0)),
                              fov_y_deg=70.0)
     out = np.asarray(taa_resolve(cur, depth, hist, cam_prev, cam_cur,
-                                 0.0, H, W, interpret=True))
+                                 0.0, H, W, interpret=True)[0])
 
     # numpy mirror: world pos of pixel centers at depth L, projected into
     # the previous camera
@@ -130,7 +130,7 @@ def test_translated_camera_without_clamp_matches_mirror():
     cam_prev = Camera.create(look_at((0.4, 0.0, 0.0), (0.4, 0.0, -1.0)),
                              fov_y_deg=70.0)
     out = np.asarray(taa_resolve(cur, depth, hist, cam_prev, cam_cur,
-                                 0.5, H, W, interpret=True))
+                                 0.5, H, W, interpret=True)[0])
     assert np.isfinite(out).all()
     # shifted sampling of a smooth gradient stays within the image's range
     assert out.min() >= img.min() - 1e-4 and out.max() <= img.max() + 1e-4
@@ -205,3 +205,26 @@ def test_accumulation_reduces_jitter_noise():
     shimmer_raw = np.abs(singles[-1] - singles[-2]).mean()
     shimmer_taa = np.abs(taa[-1] - taa[-2]).mean()
     assert shimmer_taa < shimmer_raw * 0.4, (shimmer_raw, shimmer_taa)
+
+
+def test_depth_validity_rejects_disocclusion():
+    """History whose reprojected depth disagrees with the current surface is
+    a ghost: those pixels must ignore it (fall back to the current sample)
+    even when the color clamp alone would admit it."""
+    cur = jnp.asarray(_smooth_image(H, W, 11))
+    hist = jnp.asarray(np.asarray(cur) * 0.5)  # in-range after clamp? make
+    # history within the neighborhood bounds so ONLY depth can reject it
+    hist = jnp.asarray(np.clip(np.asarray(hist),
+                               *_nbr_bounds(np.asarray(cur))))
+    depth = np.full((H, W), 50.0, np.float32)
+    hist_depth = depth.copy()
+    hist_depth[16:32, 32:96] = 200.0  # disoccluded block: depth mismatch
+    cam = Camera.create(look_at((0.0, 0.0, 0.0), (0.0, 0.0, -1.0)))
+    out = np.asarray(taa_resolve(
+        cur, jnp.asarray(depth), hist, cam, cam, 0.25, H, W,
+        interpret=True, history_depth=jnp.asarray(hist_depth))[0])
+    blk = (slice(17, 31), slice(34, 94))
+    np.testing.assert_allclose(out[blk], np.asarray(cur)[blk], atol=1e-5)
+    # outside the block the history still blends
+    outside = np.abs(out[40:60, 2:120] - np.asarray(cur)[40:60, 2:120])
+    assert outside.mean() > 1e-3

@@ -319,7 +319,13 @@ def sample_tex3d(tab_ref, meta: TexMeta, x, y, z, window_rows: int = 48):
             ok = jnp.logical_and(ok, i_hi <= S - 1.0)
             pitch = float(S ** ax)  # x·1, y·S, z·S² (lin = (z·S + y)·S + x)
             span = span + (i_hi - i_lo) * pitch
-        fits.append(jnp.logical_and(ok, span <= window_rows * LANES - 1))
+        # The window start is aligned DOWN to a 128 boundary (off =
+        # (lin_min >> 7) << 7), so the max relative index is
+        # span + (lin_min mod 128) — reserve LANES-1 slack or near-budget
+        # footprints on unaligned bases silently drop their last corner
+        # weights past the window (ADVICE r2 high).
+        fits.append(jnp.logical_and(
+            ok, span + (LANES - 1) <= window_rows * LANES - 1))
     floor_idx = meta.floor_level(window_rows)
     sel, windowed = _level_scalars(meta, fits, floor_idx)
 
@@ -407,7 +413,10 @@ def sample_latlong(tab_ref, meta: TexMeta, d: Vec3, window_rows: int = 32):
         iv_hi = jnp.minimum(jnp.floor(vmax * Hl - 0.5) + 1.0, Hl - 1.0)
         ok = jnp.logical_and(iu_lo >= 0.0, iu_hi <= Wl - 1.0)
         span = (iv_hi - iv_lo) * float(Wl) + (iu_hi - iu_lo)
-        fits.append(jnp.logical_and(ok, span <= window_rows * LANES - 1))
+        # same LANES-1 alignment slack as sample_tex3d (window start is
+        # 128-aligned down from lin_min)
+        fits.append(jnp.logical_and(
+            ok, span + (LANES - 1) <= window_rows * LANES - 1))
     floor_idx = meta.floor_level(window_rows)
     sel, windowed = _level_scalars(meta, fits, floor_idx)
 

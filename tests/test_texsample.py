@@ -171,6 +171,33 @@ def test_latlong_matches_direct_bilinear():
     np.testing.assert_allclose(got, ref, atol=3e-4)  # poly-atan2 texel error
 
 
+@pytest.mark.slow
+def test_near_budget_footprint_keeps_all_weights():
+    """Regression (ADVICE r2 high): a footprint whose span is near the
+    window budget, anchored at a non-128-aligned base, must keep every
+    trilinear corner weight.  The window start is aligned down to a 128
+    boundary, so the max relative index is span + (lin_min mod 128); the
+    old fit check ignored that slack and _window_lookup silently dropped
+    the overflowing rows' weights (constant-1 texture sampled to 0.44)."""
+    tex = np.ones((64, 64, 64), np.float32)
+    data, meta = ts.build_tex3d_pyramid(tex)
+
+    def span_arr(lo, hi, shape):
+        a = (lo + (hi - lo) * rng.random(shape)).astype(np.float32)
+        a.flat[0] = lo
+        a.flat[-1] = hi  # pin the exact footprint corners
+        return a
+
+    # z: texel i in [32, 33] (span 4096); y: i in [3, 34] (span 1984);
+    # x: i in [40, 60] (span 20) -> total span 6100 of a 6144 budget at
+    # window_rows=48, base (3*64+40) mod 128 = 104 rows of slack
+    x = span_arr(40.7 / 64, 60.3 / 64, (8, 128))
+    y = span_arr(3.7 / 64, 34.2 / 64, (8, 128))
+    z = span_arr(32.6 / 64, 33.3 / 64, (8, 128))
+    out = np.asarray(_run3d(data, meta, x, y, z, window_rows=48))
+    np.testing.assert_allclose(out, 1.0, atol=1e-5)
+
+
 def test_latlong_build_inverts_cubemap():
     """The lat-long resample reproduces the cubemap content: re-sampling the
     map at cubemap-sampled directions round-trips within filter tolerance."""

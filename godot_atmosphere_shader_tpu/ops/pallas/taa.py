@@ -110,11 +110,17 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
 
     # ---- fetch the history window (dynamic-offset DMA per channel) ----
     # DMA offsets must be tile-aligned (sublane 8, lane 128); the window
-    # margins absorb the alignment waste
-    ry0 = jnp.clip(jnp.floor(jnp.min(py)).astype(jnp.int32) - 2,
+    # margins absorb the alignment waste.  The base reduction only sees
+    # VALID reprojections — one behind-camera pixel (neg_z clamped to 1e-6
+    # → huge coordinates) must not drag the window away from the pixels
+    # that do have history (ADVICE r2); invalid pixels fall back to their
+    # own on-screen position so an all-invalid tile windows itself.
+    py_base = jnp.where(valid, py, iy)
+    px_base = jnp.where(valid, px, ix)
+    ry0 = jnp.clip(jnp.floor(jnp.min(py_base)).astype(jnp.int32) - 2,
                    0, height - win_rows)
     ry0 = pl.multiple_of((ry0 >> 3) << 3, 8)
-    rx0 = jnp.clip(jnp.floor(jnp.min(px)).astype(jnp.int32) - 8,
+    rx0 = jnp.clip(jnp.floor(jnp.min(px_base)).astype(jnp.int32) - 8,
                    0, width - win_cols)
     rx0 = pl.multiple_of((rx0 >> 7) << 7, 128)
     copies = []
@@ -195,13 +201,29 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
         nmin = cur
         nmax = cur
         pad_f = pad_ok.astype(jnp.float32)  # Mosaic rotate needs 32-bit data
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
         for dy in (bh - 1, 0, 1):  # roll is modular: bh-1 ≡ -1
             for dx in (bw - 1, 0, 1):
                 if dy == 0 and dx == 0:
                     continue
                 n = pltpu.roll(pltpu.roll(cur, dy, 0), dx, 1)
                 n_ok = pltpu.roll(pltpu.roll(pad_f, dy, 0), dx, 1) > 0.5
-                n = jnp.where(n_ok, n, cur)  # padded neighbors → center
+                # modular roll wraps tile edges: a tap that came from the
+                # opposite tile edge is not this pixel's neighbor — treat
+                # it like a padded tap (→ center) rather than clamping
+                # against the far side of the tile (ADVICE r2)
+                wrap = jnp.zeros((bh, bw), jnp.bool_)
+                if dy == 1:
+                    wrap = jnp.logical_or(wrap, row_i == 0)
+                elif dy == bh - 1:
+                    wrap = jnp.logical_or(wrap, row_i == bh - 1)
+                if dx == 1:
+                    wrap = jnp.logical_or(wrap, col_i == 0)
+                elif dx == bw - 1:
+                    wrap = jnp.logical_or(wrap, col_i == bw - 1)
+                n_ok = jnp.logical_and(n_ok, jnp.logical_not(wrap))
+                n = jnp.where(n_ok, n, cur)  # padded/wrapped taps → center
                 nmin = jnp.minimum(nmin, n)
                 nmax = jnp.maximum(nmax, n)
         h = jnp.clip(h, nmin, nmax)

@@ -48,7 +48,9 @@ def test_identity_reprojection_blends_exactly():
 
 
 def _nbr_bounds(cur, bh=32, bw=128):
-    """3x3 min/max with the kernel's per-tile modular rolls."""
+    """3x3 min/max per tile; taps that would wrap across the tile edge take
+    the center value instead (the kernel masks modular-roll wraparound the
+    same way it masks frame-edge padding — ADVICE r2)."""
     lo = cur.copy()
     hi = cur.copy()
     h, w = cur.shape[:2]
@@ -59,6 +61,16 @@ def _nbr_bounds(cur, bh=32, bw=128):
             for dy in (-1, 0, 1):
                 for dx in (-1, 0, 1):
                     n = np.roll(np.roll(t, dy, 0), dx, 1)
+                    wrap = np.zeros(t.shape[:2], bool)
+                    if dy == 1:
+                        wrap[0, :] = True
+                    elif dy == -1:
+                        wrap[-1, :] = True
+                    if dx == 1:
+                        wrap[:, 0] = True
+                    elif dx == -1:
+                        wrap[:, -1] = True
+                    n = np.where(wrap[..., None], t, n)
                     tlo = np.minimum(tlo, n)
                     thi = np.maximum(thi, n)
             lo[ty:ty + bh, tx:tx + bw] = tlo
@@ -157,6 +169,7 @@ def test_flight_taa_first_frame_pure_current():
     assert d12 <= d01 + 1e-6
 
 
+@pytest.mark.slow
 def test_accumulation_reduces_jitter_noise():
     """Static camera: accumulation converges toward the jitter-expectation
     and suppresses frame-to-frame shimmer — the quantified benefit the

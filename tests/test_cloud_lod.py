@@ -37,6 +37,7 @@ def _render(pose="interior", **cfg_kw):
 BASE = dict(cloud_coverage_interp=True, cloud_coverage_knots=8)
 
 
+@pytest.mark.slow
 def test_lod2_stays_close_to_full_res():
     full = np.asarray(_render(cloud_lod=1, cloud_coverage_lod=1, **BASE)["color"])
     lod2 = np.asarray(_render(cloud_lod=2, cloud_coverage_lod=1, **BASE)["color"])
@@ -46,6 +47,7 @@ def test_lod2_stays_close_to_full_res():
     assert np.percentile(d, 99) < 0.12
 
 
+@pytest.mark.slow
 def test_coverage_lod_stays_close():
     lod2 = np.asarray(_render(cloud_lod=2, cloud_coverage_lod=1, **BASE)["color"])
     prof = np.asarray(_render(cloud_lod=2, cloud_coverage_lod=2, **BASE)["color"])

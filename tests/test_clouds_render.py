@@ -8,6 +8,7 @@ from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
                                                      demo_camera, demo_variant)
 from godot_atmosphere_shader_tpu.models.params import VARIANTS
 from godot_atmosphere_shader_tpu.models.scene import MODE_FAR, MODE_NEAR
+import pytest
 
 
 def _render(variant="clouds", procedural=True, pose="space", hw=64, t=0.0):
@@ -18,6 +19,7 @@ def _render(variant="clouds", procedural=True, pose="space", hw=64, t=0.0):
     return scene, np.asarray(out["color"]), np.asarray(out["alpha"])
 
 
+@pytest.mark.slow
 def test_demo_scene_renders_finite():
     _, img, alpha = _render()
     assert img.shape == (64, 64, 3)
@@ -32,17 +34,20 @@ def test_clouds_add_signal_over_no_clouds():
     assert np.abs(img_cl - img_nc).max() > 0.01
 
 
+@pytest.mark.slow
 def test_cloud_variants_differ():
     _, img32, _ = _render(variant="clouds")
     _, img64, _ = _render(variant="clouds_high")
     assert np.abs(img64 - img32).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_raymarched_lighting_variant():
     _, img, _ = _render(variant="clouds_high_rm", hw=48)
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_texture_and_procedural_modes_both_render():
     _, img_p, _ = _render(procedural=True, hw=48)
     _, img_t, _ = _render(procedural=False, hw=48)
@@ -118,6 +123,7 @@ def test_multi_planet_scene():
     assert np.isfinite(img).all() and img.max() > 0.01
 
 
+@pytest.mark.slow
 def test_rm_lighting_without_coverage_interp():
     """The per-sun-step coverage evaluation branch (coverage_interp off)."""
     import dataclasses

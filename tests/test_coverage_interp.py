@@ -63,6 +63,7 @@ def _mean_dev(a, b):
     return float(np.abs(a - b).mean())
 
 
+@pytest.mark.slow
 def test_knots_converge_toward_exact(renders):
     """More knots → strictly closer to exact per-step evaluation."""
     d1 = _mean_dev(renders["k1"], renders["exact"])
@@ -73,6 +74,7 @@ def test_knots_converge_toward_exact(renders):
     assert d8 < 0.015, d8
 
 
+@pytest.mark.slow
 def test_k8_matches_reference_pipeline_like_exact_does(renders):
     """THE fast-path fidelity claim: against the reference's baked-cubemap
     coverage (its actual mechanism), 8-knot interpolation is as close as

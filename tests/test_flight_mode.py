@@ -23,6 +23,7 @@ def _per_frame_reference(scene, cam, renderer):
     return np.stack(frames)
 
 
+@pytest.mark.slow
 def test_flight_matches_per_frame_xla():
     scene = build_demo_scene(variant="clouds", procedural=True)
     cam = demo_camera("space")
@@ -35,6 +36,7 @@ def test_flight_matches_per_frame_xla():
     assert np.abs(ref[0] - ref[-1]).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_flight_pallas_interpret_matches_per_frame():
     from godot_atmosphere_shader_tpu.ops.pallas.megakernel import (
         render_frame_pallas)

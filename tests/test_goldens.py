@@ -85,6 +85,7 @@ def test_golden_v2_exterior_and_lut(goldens):
     _check(lut, goldens["lut"], atol=1e-2)
 
 
+@pytest.mark.slow
 def test_golden_clouds_space(goldens):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene
 
@@ -92,6 +93,7 @@ def test_golden_clouds_space(goldens):
            goldens["clouds_space"], name="clouds_space")
 
 
+@pytest.mark.slow
 def test_golden_clouds_high_interior(goldens):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene
 
@@ -99,6 +101,7 @@ def test_golden_clouds_high_interior(goldens):
            goldens["clouds_high_interior"], name="clouds_high_interior")
 
 
+@pytest.mark.slow
 def test_golden_rm_multiplanet(goldens):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene
     from godot_atmosphere_shader_tpu.models.scene import PlanetAtmosphere

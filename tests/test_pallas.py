@@ -22,7 +22,10 @@ def _demo(variant):
     return atmo.build_params(), atmo.config, cam, scene.opaque
 
 
-@pytest.mark.parametrize("variant", ["no_clouds", "clouds"])
+@pytest.mark.parametrize("variant", [
+    "no_clouds",
+    pytest.param("clouds", marks=pytest.mark.slow),  # interpret-mode cloud march
+])
 def test_megakernel_matches_xla(variant):
     params, config, cam, opaque = _demo(variant)
     h, w = 16, 128
@@ -44,6 +47,7 @@ def test_megakernel_rejects_lut_mode():
         render_frame_pallas(params, bad, cam, opaque, 8, 128, interpret=True)
 
 
+@pytest.mark.slow
 def test_megakernel_rejects_texture_clouds():
     scene = build_demo_scene(variant="clouds", procedural=False)
     cam = demo_camera("space")

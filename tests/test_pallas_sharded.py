@@ -50,6 +50,7 @@ def test_shard_map_pallas_interpret():
     np.testing.assert_allclose(sharded, ref, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_shard_map_texture_mode_interpret():
     """Texture-mode pyramids replicate to every shard (closure broadcast):
     sharded bands == the single texture-mode render."""

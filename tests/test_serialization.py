@@ -3,6 +3,8 @@
 import numpy as np
 
 from godot_atmosphere_shader_tpu.models.demo import build_demo_scene
+import pytest
+
 from godot_atmosphere_shader_tpu.models.serialization import (
     atmosphere_from_dict, atmosphere_to_dict, load_scene, save_scene)
 
@@ -42,6 +44,7 @@ def test_scene_file_roundtrip(tmp_path):
                                float(scene.opaque.star_intensity))
 
 
+@pytest.mark.slow
 def test_textures_not_serialized():
     """NoiseCubemap deliberately does not persist images
     (noise_cubemap.gd:84-90); scene dicts behave the same."""

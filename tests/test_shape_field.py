@@ -78,6 +78,7 @@ def _render_shape(shape_mode: str, pose: str = "avatar"):
     return np.asarray(scene.render(cam, *RES, renderer="xla")["color"])
 
 
+@pytest.mark.slow
 def test_in_march_shape_specs_match_baked_reference():
     """The stated side-by-side tolerance (VERDICT r1 #5): both in-march
     specs stay within a measured envelope of the baked cellular-ridged

@@ -50,6 +50,7 @@ def _mean_dev(a, b):
     return float(np.abs(a - b).mean())
 
 
+@pytest.mark.slow
 def test_knots_converge_toward_exact(renders):
     d4 = _mean_dev(renders["k4"], renders["exact"])
     d16 = _mean_dev(renders["k16"], renders["exact"])
@@ -58,6 +59,7 @@ def test_knots_converge_toward_exact(renders):
     assert d32 <= d16 * 1.05, (d16, d32)  # monotone within noise
 
 
+@pytest.mark.slow
 def test_k16_envelope(renders):
     """The default K=16 stays within the measured envelope at the avatar
     pose (the benchmark camera)."""

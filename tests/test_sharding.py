@@ -27,6 +27,7 @@ def test_eight_virtual_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_chip(demo):
     params, config, cam, opaque = demo
     h, w = 64, 64
@@ -47,6 +48,7 @@ def test_sharded_rejects_indivisible_height(demo):
         render_frame_sharded((params,), (config,), cam, opaque, 30, 64, mesh)
 
 
+@pytest.mark.slow
 def test_graft_entry_single_and_multichip():
     import __graft_entry__ as ge
 

@@ -20,6 +20,10 @@ import jax
 import numpy as np
 import pytest
 
+# interpret-mode Pallas texture sampling is 10-100x slower than compiled;
+# the compiled path is exercised on real hardware by tools/tpu_checks.py
+pytestmark = pytest.mark.slow
+
 from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
                                                      demo_camera)
 from godot_atmosphere_shader_tpu.ops.pallas.megakernel import (

@@ -129,6 +129,7 @@ def test_import_opaque_geometry(fixture_path):
     np.testing.assert_allclose(np.asarray(op.light_dir), [0, 0, -1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_imported_scene_renders(fixture_path):
     from godot_atmosphere_shader_tpu.utils.camera import Camera, look_at
 

@@ -341,7 +341,10 @@ class Scene:
     def _large_world_active(self, cam_pos) -> bool:
         if self.large_world is not None:
             return self.large_world
-        m = float(np.max(np.abs(cam_pos))) if len(self.atmospheres) else 0.0
+        # camera distance counts even with no atmospheres: an opaque-only
+        # scene at Earth-scale coordinates still marches with f32
+        # quantization unless rebased (ADVICE r2)
+        m = float(np.max(np.abs(cam_pos)))
         for a in self.atmospheres:
             m = max(m, float(np.max(np.abs(a.position))))
         return m > LARGE_WORLD_THRESHOLD
@@ -398,11 +401,15 @@ class Scene:
                 from ..ops.pallas.megakernel import render_scene_pallas
 
                 aug_configs, tex_data = plan
+                order, params, aug_configs, tex_data, bands, band_rows = (
+                    self._layer_bands(order, params, aug_configs, tex_data,
+                                      camera, height))
                 # the whole far→near chain (opaque fuse + every atmosphere
                 # layer) traces into ONE jit = one device dispatch per frame
                 return render_scene_pallas(params, aug_configs, camera,
                                            opaque, height, width,
-                                           tex_data=tex_data)
+                                           tex_data=tex_data, bands=bands,
+                                           band_rows=band_rows)
             if renderer == "pallas":
                 raise ValueError(
                     "pallas renderer needs analytic optical depth and "
@@ -439,6 +446,57 @@ class Scene:
         opaque = (self.opaque.rebased(origin, self._opaque_host_cache)
                   if self.opaque is not None else None)
         return cam_rel, opaque
+
+    def _layer_bands(self, order, params, configs, tex_data, camera, height):
+        """Far-LOD banding plan: per layer, the screen-row band its shell can
+        touch (``render/lod.py``).  The reference shrinks the shaded pixel
+        set with a far cube mesh (``planet_atmosphere.gd:261-321``); here
+        far-mode layers launch their kernel over only the projected rows.
+        Layers whose shell is entirely behind the camera are dropped from
+        the chain outright (every ray misses — the analog of frustum
+        culling the cube mesh).  Near-mode (or ``force_fullscreen``) layers
+        stay fullscreen, exactly like the reference's fullscreen quad.
+
+        All inputs are host-side (node transforms, the cull margin the
+        setters maintain, the rebased camera's numpy matrix) — a device
+        fetch here would cost a tunnel round-trip per layer per frame."""
+        from ..render.lod import EMPTY, layer_band
+
+        # np.asarray/float on jax arrays reuse the cached host copy after
+        # the first fetch; the rebased camera is numpy-backed outright
+        v2w = np.asarray(camera.view_to_world, np.float64)
+        fov = float(camera.fov_y_rad)
+        origin = self._rebase_origin
+        keep, bands, rows = [], [], []
+        any_band = False
+        for i, atmo in enumerate(order):
+            center = np.asarray(atmo.position, np.float64)
+            if origin is not None:
+                center = center - origin
+            band = layer_band(atmo.mode, v2w, fov, height, center,
+                              atmo.extra_cull_margin, 0.0,
+                              mode_far=MODE_FAR)
+            if band == EMPTY:
+                continue  # shell behind the camera: drop the layer
+            keep.append(i)
+            if band is None:
+                bands.append(None)
+                rows.append(0)
+            else:
+                bands.append(band[1])
+                rows.append(band[0])
+                any_band = True
+        if not keep:
+            # every layer culled: render the nearest layer fullscreen (it
+            # will shade nothing — keeps the "≥1 layer" kernel structure)
+            keep, bands, rows, any_band = [len(order) - 1], [None], [0], False
+        sel = lambda seq: tuple(seq[i] for i in keep)  # noqa: E731
+        if not any_band:
+            return (sel(order), sel(params), sel(configs),
+                    None if tex_data is None else sel(tex_data), None, None)
+        return (sel(order), sel(params), sel(configs),
+                None if tex_data is None else sel(tex_data),
+                tuple(bands), np.asarray(rows, np.int32))
 
     def _sorted_layers(self, camera: Camera):
         cam_pos, _ = self._cam_info(camera)

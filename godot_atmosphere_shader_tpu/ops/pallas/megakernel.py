@@ -170,21 +170,22 @@ class _Reader:
 def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
                  n_boxes: int, height: int, width: int, bh: int, bw: int,
                  with_opaque: bool, with_background: bool = False,
-                 want_depth: bool = False):
+                 want_depth: bool = False, with_atmosphere: bool = True,
+                 pano_meta=None):
     aspect = width / height
 
     needs_scratch = _needs_lod_scratch(config)
     n_tex = _n_tex_inputs(config)
 
     def kernel(scal_ref, blue_ref, *refs):
+        from . import texsample as _ts
+
         out_ld = None
         normalize_layout = None
         # in-kernel texture mode: VMEM-resident mip pyramids, sampled via
         # the windowed lane-gather scheme (ops/pallas/texsample.py)
         shape_fn = coverage_fn = None
         if n_tex:
-            from . import texsample as _ts
-
             tex_refs = refs[:n_tex]
             refs = refs[n_tex:]
             w_rows = config.texture_window_rows
@@ -204,6 +205,17 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
                 def coverage_fn(p, _r=cov_ref, _m=meta_c):
                     return _ts.sample_latlong(_r, _m, normalize(p),
                                               window_rows=w_rows)
+        # panorama sky: three single-channel lat-long pyramids (r, g, b),
+        # one bilinear sample per background pixel — trivial next to the
+        # per-step cloud fetches, so a fixed 32-row window suffices
+        sky_fn = None
+        if pano_meta is not None:
+            pano_refs = refs[:3]
+            refs = refs[3:]
+
+            def sky_fn(d, _refs=pano_refs, _m=pano_meta):
+                return Vec3(*(_ts.sample_latlong(r, _m, d, window_rows=32)
+                              for r in _refs))
         if needs_scratch:
             # VMEM scratch for the coarse cloud planes: a store+load
             # round-trip resets the strided layout the LOD downsample
@@ -286,10 +298,21 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
             )
             bg, _depth, linear_depth = render_opaque(
                 scene_view, cam_view, bh, bw, reverse_z=config.reverse_z,
-                ray_dir=ray_dir)
+                ray_dir=ray_dir, sky_fn=sky_fn)
         else:
             bg = Vec3(*(jnp.zeros((bh, bw), jnp.float32) for _ in range(3)))
             linear_depth = jnp.full((bh, bw), 1e7, jnp.float32)
+
+        if not with_atmosphere:
+            # opaque-only pass: the base frame for banded (far-LOD) layer
+            # chains, where no single layer gets to fuse the opaque scene
+            out_r[:] = bg.x
+            out_g[:] = bg.y
+            out_b[:] = bg.z
+            out_a[:] = jnp.zeros((bh, bw), jnp.float32)
+            if want_depth:
+                out_ld[:] = linear_depth
+            return
 
         # ---- atmosphere + clouds (shared shading core) ----
         params_view = SimpleNamespace(
@@ -450,12 +473,13 @@ def _build_values(params: AtmosphereParams, camera: Camera,
     jax.jit,
     static_argnames=("config", "height", "width", "block", "with_opaque",
                      "n_spheres", "n_boxes", "interpret", "out_height",
-                     "want_depth", "stacked"))
+                     "want_depth", "stacked", "with_atmosphere", "pano_meta"))
 def _render_pallas_jit(params, camera, opaque, config, height, width, block,
                        with_opaque, n_spheres, n_boxes, interpret=False,
                        background=None, row0=0.0, out_height=None,
                        jitter_band=None, want_depth=False, stacked=False,
-                       tex_data=None):
+                       tex_data=None, with_atmosphere=True,
+                       pano_data=None, pano_meta=None):
     bh, bw = block
     out_height = height if out_height is None else out_height
     layout = _build_layout(n_spheres, n_boxes)
@@ -464,7 +488,9 @@ def _render_pallas_jit(params, camera, opaque, config, height, width, block,
     scalars = _pack(layout, values)
     with_background = background is not None
     kernel = _make_kernel(config, layout, n_spheres, n_boxes, height, width,
-                          bh, bw, with_opaque, with_background, want_depth)
+                          bh, bw, with_opaque, with_background, want_depth,
+                          with_atmosphere=with_atmosphere,
+                          pano_meta=pano_meta)
     if jitter_band is not None:
         blue = jitter_band  # externally supplied per-band jitter plane
         tb_y = tb_x = None
@@ -495,6 +521,15 @@ def _render_pallas_jit(params, camera, opaque, config, height, width, block,
                              f"supplied {0 if tex_data is None else len(tex_data)}"
                              f" of {n_tex}")
         for t in tex_data:
+            rows = int(t.shape[0])
+            in_specs.append(pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            args.append(jnp.asarray(t, jnp.float32))
+    if pano_meta is not None:
+        if pano_data is None or len(pano_data) != 3:
+            raise ValueError("pano_meta given but pano_data is not the "
+                             "(r, g, b) pyramid triple")
+        for t in pano_data:
             rows = int(t.shape[0])
             in_specs.append(pl.BlockSpec((rows, 128), lambda i, j: (0, 0),
                                          memory_space=pltpu.VMEM))
@@ -597,27 +632,80 @@ def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
 
 def _chain_layers(params_seq, configs, camera, opaque, height, width, block,
                   with_opaque, n_spheres, n_boxes, interpret=False,
-                  tex_data=None, want_depth=False):
+                  tex_data=None, want_depth=False, bands=None,
+                  band_rows=None, pano_data=None, pano_meta=None):
     """Trace the far→near multi-planet chain (SURVEY.md §3.2 sorting):
     first layer fuses the opaque pass, later layers composite over the
     previous color using the carried linear depth.  ``want_depth`` forces
-    the final layer to emit linear depth too (the TAA resolve needs it)."""
+    the final layer to emit linear depth too (the TAA resolve needs it).
+
+    ``bands`` (static, per layer): ``None`` = fullscreen; an int band
+    height = far-LOD mode, the layer renders only rows
+    ``[band_rows[i], band_rows[i] + bands[i])`` and the rest of the frame
+    passes through — the TPU-native equivalent of the reference's far
+    cube mesh shrinking the shaded pixel set (``planet_atmosphere.gd:
+    261-321``).  ``band_rows``: traced (n,) int32 of first rows (the band
+    height must be static for the grid; the row offset may move freely
+    frame to frame without re-specializing).
+    """
+    import dataclasses as _dc
+
+    from ...render.jitter import jitter_plane
+
     n = len(configs)
     tex = tex_data or (None,) * n
-    out = _render_pallas_jit(
-        params_seq[0], camera, opaque, configs[0], height, width, block,
-        with_opaque, n_spheres, n_boxes, interpret=interpret,
-        want_depth=n > 1 or want_depth, stacked=True, tex_data=tex[0])
-    alpha = out["alpha"]
-    for i in range(1, n):
+    bands = bands or (None,) * n
+
+    if bands[0] is None:
         out = _render_pallas_jit(
+            params_seq[0], camera, opaque, configs[0], height, width, block,
+            with_opaque, n_spheres, n_boxes, interpret=interpret,
+            want_depth=n > 1 or want_depth, stacked=True, tex_data=tex[0])
+        alpha = out["alpha"]
+        start = 1
+    else:
+        # no layer gets to fuse the opaque scene: render it standalone, then
+        # chain every layer (banded or not) over it
+        neutral = _dc.replace(configs[0], clouds_enabled=False,
+                              cloud_shape_tex_meta=None,
+                              cloud_coverage_tex_meta=None, cloud_lod=1)
+        out = _render_pallas_jit(
+            params_seq[0], camera, opaque, neutral, height, width, block,
+            with_opaque, n_spheres, n_boxes, interpret=interpret,
+            want_depth=True, stacked=True, with_atmosphere=False)
+        alpha = out["alpha"]  # zeros
+        start = 0
+
+    for i in range(start, n):
+        if bands[i] is None:
+            res = _render_pallas_jit(
+                params_seq[i], camera, None, configs[i], height, width,
+                block, False, 0, 0, interpret=interpret,
+                background=(out["color"], out["linear_depth"]),
+                want_depth=i < n - 1 or want_depth, stacked=True,
+                tex_data=tex[i])
+            alpha = jnp.maximum(alpha, res["alpha"])
+            out = res
+            continue
+        band_h = bands[i]
+        r0 = band_rows[i].astype(jnp.int32)
+        bg_c = jax.lax.dynamic_slice(out["color"], (r0, 0, 0),
+                                     (band_h, width, 3))
+        bg_ld = jax.lax.dynamic_slice(out["linear_depth"], (r0, 0),
+                                      (band_h, width))
+        jb = jax.lax.dynamic_slice(jitter_plane(height, width), (r0, 0),
+                                   (band_h, width))
+        res = _render_pallas_jit(
             params_seq[i], camera, None, configs[i], height, width, block,
-            False, 0, 0, interpret=interpret,
-            background=(out["color"], out["linear_depth"]),
-            want_depth=i < n - 1 or want_depth, stacked=True,
-            tex_data=tex[i])
-        # match the XLA path's alpha semantics: max over layers
-        alpha = jnp.maximum(alpha, out["alpha"])
+            False, 0, 0, interpret=interpret, background=(bg_c, bg_ld),
+            row0=r0.astype(jnp.float32), out_height=band_h, jitter_band=jb,
+            want_depth=False, stacked=True, tex_data=tex[i])
+        color = jax.lax.dynamic_update_slice(out["color"], res["color"],
+                                             (r0, 0, 0))
+        a_band = jax.lax.dynamic_update_slice(
+            jnp.zeros((height, width), jnp.float32), res["alpha"], (r0, 0))
+        alpha = jnp.maximum(alpha, a_band)
+        out = {"color": color, "linear_depth": out["linear_depth"]}
     out["alpha"] = alpha
     return out
 
@@ -625,34 +713,44 @@ def _chain_layers(params_seq, configs, camera, opaque, height, width, block,
 @functools.partial(
     jax.jit,
     static_argnames=("configs", "height", "width", "block", "with_opaque",
-                     "n_spheres", "n_boxes", "interpret"))
+                     "n_spheres", "n_boxes", "interpret", "bands"))
 def _render_scene_jit(params_seq, camera, opaque, configs, height, width,
                       block, with_opaque, n_spheres, n_boxes, interpret=False,
-                      tex_data=None):
+                      tex_data=None, bands=None, band_rows=None):
     return _chain_layers(params_seq, configs, camera, opaque, height, width,
                          block, with_opaque, n_spheres, n_boxes,
-                         interpret=interpret, tex_data=tex_data)
+                         interpret=interpret, tex_data=tex_data,
+                         bands=bands, band_rows=band_rows)
 
 
 def render_scene_pallas(params_seq, configs, camera: Camera,
                         opaque: Optional[OpaqueScene], height: int, width: int,
                         block: Tuple[int, int] = (32, 128),
-                        interpret: bool = False, tex_data=None) -> dict:
+                        interpret: bool = False, tex_data=None,
+                        bands=None, band_rows=None) -> dict:
     """Render a whole multi-layer scene in ONE device dispatch.
 
     Chaining the layers inside a single jit matters on tunneled TPU setups:
     every eager op or separate jit call costs a host round-trip that can
     exceed the render itself at small resolutions.
+
+    ``bands``/``band_rows``: optional far-LOD row banding per layer (see
+    ``_chain_layers``); the scene driver derives them from each node's
+    near/far mode + projected shell bounds (``render/lod.py``).
     """
     for c in configs:
         _check_config(c)
     n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
+    if band_rows is not None:
+        band_rows = jnp.asarray(band_rows, jnp.int32)
     return _render_scene_jit(tuple(params_seq), camera, opaque, tuple(configs),
                              height, width, block, opaque is not None,
                              n_spheres, n_boxes, interpret=interpret,
                              tex_data=None if tex_data is None
-                             else tuple(tex_data))
+                             else tuple(tex_data),
+                             bands=None if bands is None else tuple(bands),
+                             band_rows=band_rows)
 
 
 @functools.partial(

@@ -36,6 +36,16 @@ def cmd_render(args) -> None:
         scene = build_demo_scene(variant=args.variant,
                                  procedural=not args.textures,
                                  shape_basis=args.shape_basis)
+    if getattr(args, "panorama", None):
+        import dataclasses
+
+        from .utils.color import srgb_to_linear
+        from .utils.image_io import read_image_rgb
+
+        img8 = read_image_rgb(args.panorama)
+        scene.opaque = dataclasses.replace(
+            scene.opaque, panorama=np.asarray(
+                srgb_to_linear(img8.astype(np.float32) / 255.0), np.float32))
     cam = demo_camera(args.pose)
     scene.update(args.time, cam)
     t0 = time.perf_counter()
@@ -205,6 +215,9 @@ def main(argv=None) -> int:
                    help="use baked textures instead of procedural fields")
     r.add_argument("--renderer", default="auto",
                    choices=["auto", "pallas", "xla"])
+    r.add_argument("--panorama", default=None, metavar="IMAGE",
+                   help="equirect sky image (webp/png) replacing the "
+                        "procedural starfield (PanoramaSkyMaterial analog)")
     r.add_argument("--scene", default=None,
                    help="import a Godot .tscn scene file instead of the "
                         "built-in demo")

@@ -397,6 +397,10 @@ class Scene:
 
         if renderer != "xla":
             plan = self._pallas_plan(params, configs)
+            pano = self._pano_plan() if plan is not None else None
+            if (plan is not None and pano is None and self.opaque is not None
+                    and getattr(self.opaque, "panorama", None) is not None):
+                plan = None  # unpackable panorama: XLA samples it exactly
             if plan is not None:
                 from ..ops.pallas.megakernel import render_scene_pallas
 
@@ -409,7 +413,11 @@ class Scene:
                 return render_scene_pallas(params, aug_configs, camera,
                                            opaque, height, width,
                                            tex_data=tex_data, bands=bands,
-                                           band_rows=band_rows)
+                                           band_rows=band_rows,
+                                           pano_data=None if pano is None
+                                           else pano[0],
+                                           pano_meta=None if pano is None
+                                           else pano[1])
             if renderer == "pallas":
                 raise ValueError(
                     "pallas renderer needs analytic optical depth and "
@@ -544,6 +552,33 @@ class Scene:
         self._tex_pyr_cache[key] = (t, built)
         return built
 
+    def _pano_plan(self):
+        """Panorama-sky pyramid triple for the megakernel (cached by texture
+        object like :meth:`_tex_pyramid`).  Returns ``(pano_data, meta)`` or
+        ``None`` when there is no panorama or it can't ride the kernel (the
+        XLA path samples the raw equirect exactly in that case)."""
+        opq = self.opaque
+        t = getattr(opq, "panorama", None) if opq is not None else None
+        if t is None:
+            return None
+        key = (id(t), "equirect")
+        hit = self._tex_pyr_cache.get(key)
+        if hit is not None and hit[0] is t:
+            return hit[1]
+        from ..ops.pallas.texsample import build_equirect_pyramid
+
+        try:
+            arr = np.asarray(t)
+            # pyramid width: the power of two nearest the source width from
+            # below (no invented detail), clamped to the sampler's range
+            w = 1 << int(np.log2(min(2048, max(64, arr.shape[1]))))
+            datas, meta = build_equirect_pyramid(arr, width=w)
+            built = (tuple(jnp.asarray(d) for d in datas), meta)
+        except ValueError:
+            built = None
+        self._tex_pyr_cache[key] = (t, built)
+        return built
+
     def _pallas_plan(self, params, configs):
         """Megakernel eligibility + texture plumbing.
 
@@ -634,6 +669,12 @@ class Scene:
         plan = self._pallas_plan(params, configs)
         if interpret and plan is None:
             plan = (configs, (None,) * len(configs))
+        pano = self._pano_plan() if plan is not None else None
+        if (plan is not None and pano is None and self.opaque is not None
+                and getattr(self.opaque, "panorama", None) is not None
+                and not interpret):
+            plan = None  # unpackable panorama: XLA samples it exactly
+        pd, pm = (pano if pano is not None else (None, None))
         if renderer != "xla" and plan is not None:
             aug_configs, tex_data = plan
             if taa_blend is not None:
@@ -647,14 +688,16 @@ class Scene:
                                          cam_stack=cam_transforms,
                                          blend=float(taa_blend),
                                          interpret=interpret,
-                                         tex_data=tex_data)
+                                         tex_data=tex_data,
+                                         pano_data=pd, pano_meta=pm)
             from ..ops.pallas.megakernel import render_flight_pallas
 
             return render_flight_pallas(params, tuple(fs_stacks), aug_configs,
                                         camera, opaque, height, width,
                                         cam_stack=cam_transforms,
                                         interpret=interpret,
-                                        tex_data=tex_data)
+                                        tex_data=tex_data,
+                                        pano_data=pd, pano_meta=pm)
         if taa_blend is not None:
             raise ValueError("taa_blend needs the pallas flight path "
                              "(TPU backend or interpret=True)")

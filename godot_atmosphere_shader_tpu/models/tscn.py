@@ -181,9 +181,38 @@ class ImportResult:
     skipped: List[str]
 
 
+def _resolve_res_path(res_path: str, tscn_path: str) -> Optional[str]:
+    """Godot ``res://`` path → filesystem path.
+
+    The project root is the nearest ancestor of the scene file containing
+    ``project.godot`` (Godot's own rule); without one, fall back to trying
+    the resource's trailing components against the scene file's directory.
+    Returns ``None`` when the file doesn't exist either way.
+    """
+    rel = res_path[len("res://"):] if res_path.startswith("res://") else res_path
+    d = os.path.dirname(os.path.abspath(tscn_path))
+    probe = d
+    while True:
+        if os.path.exists(os.path.join(probe, "project.godot")):
+            cand = os.path.join(probe, rel)
+            return cand if os.path.exists(cand) else None
+        parent = os.path.dirname(probe)
+        if parent == probe:
+            break
+        probe = parent
+    # no project.godot: match the longest trailing suffix of the res path
+    parts = rel.split("/")
+    for i in range(len(parts)):
+        cand = os.path.join(d, *parts[i:])
+        if os.path.exists(cand):
+            return cand
+    return None
+
+
 def load_tscn(path: str, procedural: bool = True,
               shape_texture_size: int = 64) -> ImportResult:
     """Import a Godot scene file into a renderable :class:`Scene`."""
+    scene_file = path  # later loops reuse ``path`` for node paths
     with open(path) as f:
         sections = parse_tscn(f.read())
 
@@ -245,6 +274,7 @@ def load_tscn(path: str, procedural: bool = True,
     boxes = []
     light_dir = (0.0, 0.0, -1.0)
     star_intensity = 0.0
+    panorama = None
 
     for path, s in nodes.items():
         name = s.get("name", "?")
@@ -307,16 +337,37 @@ def load_tscn(path: str, procedural: bool = True,
             light_dir = tuple(-mat[:3, 2])
         elif ntype == "WorldEnvironment":
             # Environment background_mode=2 (sky) + PanoramaSkyMaterial is
-            # the demo's space panorama (planet_atmosphere_test.tscn:18-27);
-            # our opaque pass renders its procedural starfield analog when
-            # star_intensity > 0 (render/opaque.py) — a panorama *texture*
-            # would be a per-pixel gather, hostile to the TPU fast path.
+            # the demo's space panorama (planet_atmosphere_test.tscn:18-27).
+            # The texture is loaded and rendered for real (megakernel: VMEM
+            # lat-long mip pyramid; XLA: exact bilinear equirect sample);
+            # when the file can't be found/decoded we fall back to the
+            # procedural starfield and record why.
             env = deref(s.get("environment"))
             if env is not None and int(env.get("background_mode", 0)) == 2:
                 sky = deref(env.get("sky"))
                 sky_mat = deref(sky.get("sky_material")) if sky else None
                 if sky_mat is not None and sky_mat.get("type") == "PanoramaSkyMaterial":
-                    star_intensity = 1.0
+                    pano_res = deref(sky_mat.get("panorama"))
+                    pano_path = (_resolve_res_path(
+                        str(pano_res.get("path")), scene_file)
+                        if pano_res is not None and pano_res.get("path")
+                        else None)
+                    if pano_path is not None:
+                        try:
+                            from ..utils.color import srgb_to_linear
+                            from ..utils.image_io import read_image_rgb
+
+                            img = read_image_rgb(pano_path)
+                            panorama = np.asarray(srgb_to_linear(
+                                img.astype(np.float32) / 255.0), np.float32)
+                        except (OSError, ValueError) as e:
+                            skipped.append(
+                                f"node {name}: panorama {pano_path}: {e}")
+                            star_intensity = 1.0
+                    else:
+                        skipped.append(f"node {name}: panorama texture "
+                                       "path not found in scene file")
+                        star_intensity = 1.0
                 else:
                     skipped.append(f"node {name}: sky without panorama material")
         elif ntype in ("Node", "Node3D", "Camera3D"):
@@ -327,7 +378,8 @@ def load_tscn(path: str, procedural: bool = True,
     opaque = OpaqueScene.create(spheres=spheres, boxes=boxes,
                                 light_dir=light_dir,
                                 sky_color=(0.001, 0.001, 0.002),
-                                star_intensity=star_intensity)
+                                star_intensity=star_intensity,
+                                panorama=panorama)
     return ImportResult(Scene(atmospheres=atmospheres, opaque=opaque), skipped)
 
 

@@ -25,6 +25,7 @@ Two design points make this possible:
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from types import SimpleNamespace
 from typing import Optional, Tuple
@@ -660,7 +661,8 @@ def _chain_layers(params_seq, configs, camera, opaque, height, width, block,
         out = _render_pallas_jit(
             params_seq[0], camera, opaque, configs[0], height, width, block,
             with_opaque, n_spheres, n_boxes, interpret=interpret,
-            want_depth=n > 1 or want_depth, stacked=True, tex_data=tex[0])
+            want_depth=n > 1 or want_depth, stacked=True, tex_data=tex[0],
+            pano_data=pano_data, pano_meta=pano_meta)
         alpha = out["alpha"]
         start = 1
     else:
@@ -672,7 +674,8 @@ def _chain_layers(params_seq, configs, camera, opaque, height, width, block,
         out = _render_pallas_jit(
             params_seq[0], camera, opaque, neutral, height, width, block,
             with_opaque, n_spheres, n_boxes, interpret=interpret,
-            want_depth=True, stacked=True, with_atmosphere=False)
+            want_depth=True, stacked=True, with_atmosphere=False,
+            pano_data=pano_data, pano_meta=pano_meta)
         alpha = out["alpha"]  # zeros
         start = 0
 
@@ -713,21 +716,25 @@ def _chain_layers(params_seq, configs, camera, opaque, height, width, block,
 @functools.partial(
     jax.jit,
     static_argnames=("configs", "height", "width", "block", "with_opaque",
-                     "n_spheres", "n_boxes", "interpret", "bands"))
+                     "n_spheres", "n_boxes", "interpret", "bands",
+                     "pano_meta"))
 def _render_scene_jit(params_seq, camera, opaque, configs, height, width,
                       block, with_opaque, n_spheres, n_boxes, interpret=False,
-                      tex_data=None, bands=None, band_rows=None):
+                      tex_data=None, bands=None, band_rows=None,
+                      pano_data=None, pano_meta=None):
     return _chain_layers(params_seq, configs, camera, opaque, height, width,
                          block, with_opaque, n_spheres, n_boxes,
                          interpret=interpret, tex_data=tex_data,
-                         bands=bands, band_rows=band_rows)
+                         bands=bands, band_rows=band_rows,
+                         pano_data=pano_data, pano_meta=pano_meta)
 
 
 def render_scene_pallas(params_seq, configs, camera: Camera,
                         opaque: Optional[OpaqueScene], height: int, width: int,
                         block: Tuple[int, int] = (32, 128),
                         interpret: bool = False, tex_data=None,
-                        bands=None, band_rows=None) -> dict:
+                        bands=None, band_rows=None,
+                        pano_data=None, pano_meta=None) -> dict:
     """Render a whole multi-layer scene in ONE device dispatch.
 
     Chaining the layers inside a single jit matters on tunneled TPU setups:
@@ -737,6 +744,12 @@ def render_scene_pallas(params_seq, configs, camera: Camera,
     ``bands``/``band_rows``: optional far-LOD row banding per layer (see
     ``_chain_layers``); the scene driver derives them from each node's
     near/far mode + projected shell bounds (``render/lod.py``).
+
+    ``pano_data``/``pano_meta``: optional panorama-sky pyramid triple
+    (r, g, b channels of the equirect image packed by
+    ``texsample.build_equirect_pyramid``) + its static meta; sampled for
+    rays that miss all opaque geometry (the PanoramaSkyMaterial analog).
+    The scene driver builds these from ``OpaqueScene.panorama``.
     """
     for c in configs:
         _check_config(c)
@@ -744,22 +757,30 @@ def render_scene_pallas(params_seq, configs, camera: Camera,
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
     if band_rows is not None:
         band_rows = jnp.asarray(band_rows, jnp.int32)
+    if opaque is not None and getattr(opaque, "panorama", None) is not None:
+        # the raw texture must not ride into the kernel jit (it would be an
+        # unused-but-uploaded input; the pyramids carry the content)
+        opaque = dataclasses.replace(opaque, panorama=None)
     return _render_scene_jit(tuple(params_seq), camera, opaque, tuple(configs),
                              height, width, block, opaque is not None,
                              n_spheres, n_boxes, interpret=interpret,
                              tex_data=None if tex_data is None
                              else tuple(tex_data),
                              bands=None if bands is None else tuple(bands),
-                             band_rows=band_rows)
+                             band_rows=band_rows,
+                             pano_data=None if pano_data is None
+                             else tuple(pano_data),
+                             pano_meta=pano_meta)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("configs", "height", "width", "block", "with_opaque",
-                     "n_spheres", "n_boxes", "interpret"))
+                     "n_spheres", "n_boxes", "interpret", "pano_meta"))
 def _render_flight_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
                        configs, height, width, block, with_opaque, n_spheres,
-                       n_boxes, interpret=False, tex_data=None):
+                       n_boxes, interpret=False, tex_data=None,
+                       pano_data=None, pano_meta=None):
     import dataclasses as _dc
 
     def one_frame(per_frame):
@@ -769,7 +790,8 @@ def _render_flight_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
         cam = _dc.replace(camera, view_to_world=vtw)
         out = _chain_layers(ps, configs, cam, opaque, height, width, block,
                             with_opaque, n_spheres, n_boxes,
-                            interpret=interpret, tex_data=tex_data)
+                            interpret=interpret, tex_data=tex_data,
+                            pano_data=pano_data, pano_meta=pano_meta)
         return out["color"], out["alpha"]
 
     colors, alphas = jax.lax.map(one_frame, (fs_stacks, cam_stack))
@@ -779,11 +801,11 @@ def _render_flight_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
 @functools.partial(
     jax.jit,
     static_argnames=("configs", "height", "width", "block", "with_opaque",
-                     "n_spheres", "n_boxes", "interpret"))
+                     "n_spheres", "n_boxes", "interpret", "pano_meta"))
 def _render_flight_taa_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
                            configs, height, width, block, with_opaque,
                            n_spheres, n_boxes, blend, interpret=False,
-                           tex_data=None):
+                           tex_data=None, pano_data=None, pano_meta=None):
     import dataclasses as _dc
 
     from .taa import taa_resolve
@@ -799,7 +821,8 @@ def _render_flight_taa_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
         out = _chain_layers(ps, configs, cam, opaque, height, width, block,
                             with_opaque, n_spheres, n_boxes,
                             interpret=interpret, tex_data=tex_data,
-                            want_depth=True)
+                            want_depth=True,
+                            pano_data=pano_data, pano_meta=pano_meta)
         cam_prev = _dc.replace(camera, view_to_world=prev_vtw)
         # frame 0 has no history: blend 1.0 keeps it purely current
         b = jnp.where(i == 0, 1.0, jnp.float32(blend))
@@ -819,7 +842,7 @@ def render_flight_taa(params_seq, fs_stacks, configs, camera: Camera,
                       opaque: Optional[OpaqueScene], height: int, width: int,
                       block: Tuple[int, int] = (32, 128), cam_stack=None,
                       blend: float = 0.15, interpret: bool = False,
-                      tex_data=None) -> dict:
+                      tex_data=None, pano_data=None, pano_meta=None) -> dict:
     """Temporally-accumulated flight rendering — the capability the
     reference engine cannot express (no reprojection,
     ``planet_atmosphere_main.gdshaderinc:39-48``).
@@ -838,6 +861,8 @@ def render_flight_taa(params_seq, fs_stacks, configs, camera: Camera,
         _check_config(c)
     n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
+    if opaque is not None and getattr(opaque, "panorama", None) is not None:
+        opaque = dataclasses.replace(opaque, panorama=None)
     if cam_stack is None:
         k = int(fs_stacks[0].shape[0])
         cam_stack = jnp.broadcast_to(camera.view_to_world, (k, 4, 4))
@@ -846,14 +871,17 @@ def render_flight_taa(params_seq, fs_stacks, configs, camera: Camera,
         jnp.asarray(cam_stack, jnp.float32), camera, opaque, tuple(configs),
         height, width, block, opaque is not None, n_spheres, n_boxes,
         jnp.float32(blend), interpret=interpret,
-        tex_data=None if tex_data is None else tuple(tex_data))
+        tex_data=None if tex_data is None else tuple(tex_data),
+        pano_data=None if pano_data is None else tuple(pano_data),
+        pano_meta=pano_meta)
 
 
 def render_flight_pallas(params_seq, fs_stacks, configs, camera: Camera,
                          opaque: Optional[OpaqueScene], height: int,
                          width: int, block: Tuple[int, int] = (32, 128),
                          cam_stack=None, interpret: bool = False,
-                         tex_data=None) -> dict:
+                         tex_data=None, pano_data=None,
+                         pano_meta=None) -> dict:
     """Render K frames in ONE dispatch via an in-graph ``lax.map`` loop.
 
     The moral equivalent of a pre-recorded command buffer: for animation /
@@ -869,6 +897,8 @@ def render_flight_pallas(params_seq, fs_stacks, configs, camera: Camera,
         _check_config(c)
     n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
     n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
+    if opaque is not None and getattr(opaque, "panorama", None) is not None:
+        opaque = dataclasses.replace(opaque, panorama=None)
     if cam_stack is None:
         k = int(fs_stacks[0].shape[0])
         cam_stack = jnp.broadcast_to(camera.view_to_world, (k, 4, 4))
@@ -878,4 +908,6 @@ def render_flight_pallas(params_seq, fs_stacks, configs, camera: Camera,
                               opaque is not None, n_spheres, n_boxes,
                               interpret=interpret,
                               tex_data=None if tex_data is None
-                              else tuple(tex_data))
+                              else tuple(tex_data),
+                              pano_data=None if pano_data is None
+                              else tuple(pano_data), pano_meta=pano_meta)

@@ -167,7 +167,12 @@ def build_latlong_pyramid(faces, width: int = 512) -> Tuple[np.ndarray, TexMeta]
     base_img = np.asarray(
         sample_cubemap_bilinear(faces, latlong_dirs(height, width)),
         np.float32)
-    levels, metas, base, flat = [], [], 0, []
+    return _pack_latlong_mips(base_img)
+
+
+def _pack_latlong_mips(base_img: np.ndarray):
+    """(H, W) lat-long base level → flat 2x-box-filtered mip pyramid."""
+    metas, base, flat = [], 0, []
     cur = base_img
     while True:
         metas.append((cur.shape[0], cur.shape[1], base))
@@ -182,6 +187,51 @@ def build_latlong_pyramid(faces, width: int = 512) -> Tuple[np.ndarray, TexMeta]
     data = _pack_flat(flat)
     return data, TexMeta(kind="latlong", levels=tuple(metas),
                          rows=data.shape[0])
+
+
+def build_equirect_pyramid(img, width: int = 512):
+    """Equirect RGB panorama ``(H, W, 3)`` → per-channel lat-long pyramids.
+
+    The panorama-sky path (``OpaqueScene.panorama``,
+    ``demo/planet_atmosphere_test.tscn`` PanoramaSkyMaterial): the image is
+    resampled host-side to the power-of-two lat-long grid the in-kernel
+    sampler expects (bilinear, u wraps / v clamps, texel centers at
+    ``(i+0.5)/N``), then packed like the coverage pyramid — one pyramid per
+    channel sharing a single :class:`TexMeta`.
+
+    Returns ``((data_r, data_g, data_b), meta)``.
+    """
+    img = np.asarray(img, np.float32)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"panorama must be (H, W, 3), got {img.shape}")
+    if width & (width - 1) or width < 64 or width > 2048:
+        raise ValueError(f"latlong width must be a power of two in "
+                         f"[64, 2048], got {width}")
+    height = width // 2
+    h_in, w_in, _ = img.shape
+
+    # host bilinear resample onto the target grid (u wrap, v clamp)
+    u = (np.arange(width) + 0.5) / width
+    v = (np.arange(height) + 0.5) / height
+    pu = u * w_in - 0.5
+    pv = np.clip(v * h_in - 0.5, 0.0, h_in - 1.0)
+    x0 = np.floor(pu).astype(np.int64)
+    y0 = np.floor(pv).astype(np.int64)
+    fx = (pu - x0)[None, :, None]
+    fy = (pv - y0)[:, None, None]
+    x0w = np.mod(x0, w_in)
+    x1w = np.mod(x0 + 1, w_in)
+    y0c = y0
+    y1c = np.minimum(y0 + 1, h_in - 1)
+    top = img[y0c][:, x0w] * (1 - fx) + img[y0c][:, x1w] * fx
+    bot = img[y1c][:, x0w] * (1 - fx) + img[y1c][:, x1w] * fx
+    resampled = top * (1 - fy) + bot * fy
+
+    datas, meta = [], None
+    for c in range(3):
+        d, meta = _pack_latlong_mips(np.ascontiguousarray(resampled[..., c]))
+        datas.append(d)
+    return tuple(datas), meta
 
 
 # -- polynomial inverse trig (Mosaic has no atan/asin) ------------------------

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..utils.vecmath import Vec3
+from ..utils.vecmath import Vec3, normalize
 from .noise import NoiseSpec, sample_noise3
 from .optical_depth import sample_bilinear_clamp  # re-export  # noqa: F401
 
@@ -132,6 +132,45 @@ def sample_cubemap_bilinear(faces: jnp.ndarray, direction: Vec3) -> jnp.ndarray:
     top = at(y0, x0) * (1.0 - fx) + at(y0, x1) * fx
     bot = at(y1, x0) * (1.0 - fx) + at(y1, x1) * fx
     return top * (1.0 - fy) + bot * fy
+
+
+def sample_equirect_bilinear(tex: jnp.ndarray, direction: Vec3) -> Vec3:
+    """Equirect (lat-long) panorama sample — the PanoramaSkyMaterial analog
+    (``demo/planet_atmosphere_test.tscn`` Sky/PanoramaSkyMaterial nodes).
+
+    ``tex`` is ``(H, W, 3)`` linear RGB.  The direction→(u, v) mapping is
+    identical to the in-kernel pyramid sampler
+    (``ops/pallas/texsample.py::sample_latlong`` / ``latlong_dirs``):
+    u = atan2(z, x)/2π + 0.5 wraps, v = 0.5 − asin(y)/π clamps at the
+    poles; texel centers at (i+0.5)/N.  Exact trig here (XLA path); the
+    kernel uses the documented polynomial approximation.
+    """
+    h, w, _ = tex.shape
+    d = normalize(direction)
+    u = jnp.arctan2(d.z, d.x) * (1.0 / (2.0 * jnp.pi)) + 0.5
+    v = 0.5 - jnp.arcsin(jnp.clip(d.y, -1.0, 1.0)) * (1.0 / jnp.pi)
+
+    pu = u * w - 0.5
+    pv = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x0f = jnp.floor(pu)
+    y0 = jnp.floor(pv).astype(jnp.int32)
+    fx = pu - x0f
+    fy = pv - y0.astype(jnp.float32)
+    x0 = jnp.mod(x0f.astype(jnp.int32), w)
+    x1 = jnp.mod(x0 + 1, w)  # azimuth seam wraps
+    y1 = jnp.minimum(y0 + 1, h - 1)  # poles clamp
+
+    flat = tex.reshape(-1, 3)
+
+    def at(yi, xi, c):
+        return jnp.take(flat[:, c], yi * w + xi)
+
+    out = []
+    for c in range(3):
+        top = at(y0, x0, c) * (1.0 - fx) + at(y0, x1, c) * fx
+        bot = at(y1, x0, c) * (1.0 - fx) + at(y1, x1, c) * fx
+        out.append(top * (1.0 - fy) + bot * fy)
+    return Vec3(*out)
 
 
 # -- bakes --------------------------------------------------------------------

@@ -44,11 +44,19 @@ class OpaqueScene:
     # equirect texture would be a gather; hashed star glints are free):
     # 0 disables; otherwise scales star brightness
     star_intensity: jnp.ndarray = None  # scalar
+    # equirect sky texture (H, W, 3) linear RGB — the real
+    # PanoramaSkyMaterial (``demo/planet_atmosphere_test.tscn``
+    # Sky/PanoramaSkyMaterial → ``space_background.webp``).  When set it
+    # replaces sky_color + starfield on rays that miss all geometry: XLA
+    # samples it bilinear (``ops/sampling.py::sample_equirect_bilinear``),
+    # the megakernel through a VMEM mip pyramid
+    # (``ops/pallas/texsample.py::sample_latlong``).
+    panorama: jnp.ndarray = None  # (H, W, 3) or None
 
     @staticmethod
     def create(spheres=(), boxes=(), light_dir=(0.0, 0.0, -1.0),
                ambient=0.02, sky_color=(0.0, 0.0, 0.0),
-               star_intensity=0.0) -> "OpaqueScene":
+               star_intensity=0.0, panorama=None) -> "OpaqueScene":
         """``spheres``: list of (center, radius, albedo[, unshaded]);
         ``boxes``: list of (world_to_box 4×4, half_size, albedo)."""
         import numpy as np
@@ -81,6 +89,8 @@ class OpaqueScene:
             ambient=jnp.asarray(ambient, jnp.float32),
             sky_color=jnp.asarray(sky_color, jnp.float32),
             star_intensity=jnp.asarray(star_intensity, jnp.float32),
+            panorama=(None if panorama is None
+                      else jnp.asarray(panorama, jnp.float32)),
         )
 
     def rebased(self, origin, host_cache: dict = None) -> "OpaqueScene":
@@ -115,11 +125,18 @@ class OpaqueScene:
 
 
 def render_opaque(scene: OpaqueScene, camera: Camera, height: int, width: int,
-                  reverse_z: bool = True, ray_dir: Optional[Vec3] = None):
+                  reverse_z: bool = True, ray_dir: Optional[Vec3] = None,
+                  sky_fn=None):
     """Returns ``(rgb: Vec3, depth: nonlinear buffer, linear_depth)``.
 
     ``ray_dir`` may be supplied pre-sharded (multi-chip path); ``height`` and
     ``width`` then describe the local slice.
+
+    ``sky_fn(ray_dir: Vec3) -> Vec3``: optional panorama-sky sampler used
+    for rays that miss all geometry (replaces ``sky_color`` + starfield).
+    The XLA path builds it from ``scene.panorama`` via
+    ``sample_equirect_bilinear``; the megakernel injects a pyramid-backed
+    sampler (scene.panorama itself never crosses into the kernel).
     """
     if ray_dir is None:
         ray_dir = world_ray_dirs(camera, height, width)
@@ -192,11 +209,20 @@ def render_opaque(scene: OpaqueScene, camera: Camera, height: int, width: int,
 
     hit_any = best_t < big
 
+    # panorama sky (PanoramaSkyMaterial) or procedural starfield fallback
+    if sky_fn is None and getattr(scene, "panorama", None) is not None:
+        from ..ops.sampling import sample_equirect_bilinear
+
+        pano = scene.panorama
+
+        def sky_fn(d, _tex=pano):
+            return sample_equirect_bilinear(_tex, d)
+
     # procedural starfield background (space-panorama analog): sparse hashed
     # glints from the quantized ray direction — no texture, no gathers
     star = 0.0
     star_intensity = getattr(scene, "star_intensity", None)
-    if star_intensity is not None:
+    if sky_fn is None and star_intensity is not None:
         from ..ops.noise import hash3, _hash_to_unit
 
         k = 220.0
@@ -215,10 +241,17 @@ def render_opaque(scene: OpaqueScene, camera: Camera, height: int, width: int,
     ndotl = jnp.maximum(-(nx * ld[0] + ny * ld[1] + nz * ld[2]), 0.0)
     shade = scene.ambient + (1.0 - scene.ambient) * ndotl
     shade = jnp.where(unshaded > 0.5, 1.0, shade)
+    if sky_fn is not None:
+        sky = sky_fn(ray_dir)
+        sky_r, sky_g, sky_b = sky.x, sky.y, sky.z
+    else:
+        sky_r = scene.sky_color[0] + star
+        sky_g = scene.sky_color[1] + star
+        sky_b = scene.sky_color[2] + star
     rgb = Vec3(
-        jnp.where(hit_any, ar * shade, scene.sky_color[0] + star),
-        jnp.where(hit_any, ag * shade, scene.sky_color[1] + star),
-        jnp.where(hit_any, ab * shade, scene.sky_color[2] + star),
+        jnp.where(hit_any, ar * shade, sky_r),
+        jnp.where(hit_any, ag * shade, sky_g),
+        jnp.where(hit_any, ab * shade, sky_b),
     )
 
     # depth buffer: view-space z of hits, clear value elsewhere

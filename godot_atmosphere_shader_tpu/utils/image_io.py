@@ -113,6 +113,30 @@ def read_png(path: str) -> np.ndarray:
     return img[..., 0] if channels == 1 else img
 
 
+def read_image_rgb(path: str) -> np.ndarray:
+    """Decode any common image (webp/png/jpg…) to uint8 (H, W, 3).
+
+    The reference demo's panorama is a ``.webp``
+    (``demo/planet_atmosphere_test.tscn`` → ``space_background.webp``);
+    PNGs go through the dependency-free codec above, everything else
+    through PIL when available.  Raises ``ValueError`` when the format
+    can't be decoded in this environment.
+    """
+    if path.lower().endswith(".png"):
+        img = read_png(path)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        return np.ascontiguousarray(img[..., :3])
+    try:
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - PIL is in the base image
+        raise ValueError(
+            f"cannot decode {path!r}: non-PNG image and PIL unavailable "
+            "(pre-convert to .png)") from e
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), np.uint8)
+
+
 def to_uint8(image: np.ndarray) -> np.ndarray:
     """[0,1] float → uint8 with round-to-nearest."""
     return np.clip(np.asarray(image) * 255.0 + 0.5, 0, 255).astype(np.uint8)

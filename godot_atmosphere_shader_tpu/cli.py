@@ -54,6 +54,11 @@ def cmd_render(args) -> None:
                        renderer=args.renderer)
     img = np.asarray(out["color"])
     dt = time.perf_counter() - t0
+    if args.glow:
+        from .render.glow import GlowSettings, apply_glow
+
+        env = scene.environment or GlowSettings.demo()
+        img = np.asarray(apply_glow(img, env))
     srgb = np.asarray(linear_to_srgb(np.clip(img, 0.0, 1.0)))
     write_png(args.output, to_uint8(srgb))
     print(f"wrote {args.output} ({img.shape[1]}x{img.shape[0]}) in {dt:.2f}s "
@@ -202,7 +207,8 @@ def main(argv=None) -> int:
                             "clouds_high_rm", "v1_no_clouds", "v1_clouds",
                             "v1_clouds_high"])
     r.add_argument("--pose", default="space",
-                   choices=["avatar", "exterior", "interior", "space"])
+                   choices=["avatar", "exterior", "interior", "space",
+                            "sunrise", "sunward"])
     r.add_argument("--size", type=int, default=512)
     r.add_argument("--width", type=int, default=None)
     r.add_argument("--time", type=float, default=0.0)
@@ -215,6 +221,9 @@ def main(argv=None) -> int:
                    help="use baked textures instead of procedural fields")
     r.add_argument("--renderer", default="auto",
                    choices=["auto", "pallas", "xla"])
+    r.add_argument("--glow", action="store_true",
+                   help="apply the Environment glow/bloom output stage "
+                        "(the scene's settings, or the demo env defaults)")
     r.add_argument("--panorama", default=None, metavar="IMAGE",
                    help="equirect sky image (webp/png) replacing the "
                         "procedural starfield (PanoramaSkyMaterial analog)")

@@ -215,4 +215,19 @@ def demo_camera(pose: str = "avatar", height: int = 1080, width: int = 1920) -> 
     if pose == "space":
         return Camera.create(look_at((0.0, 150.0, 420.0), (0.0, 0.0, 0.0)),
                              fov_y_deg=70.0, near=0.1, far=800.0)
+    if pose == "sunrise":
+        # on the planet's surface looking at the sun through the atmosphere
+        # limb (the atmosphere's 0.99 alpha cap dims the HDR disk — the
+        # classic horizon shot, little glow by design)
+        return Camera.create(look_at((0.0, 103.0, 0.0),
+                                     (0.0, 30.0, 598.677)),
+                             fov_y_deg=70.0, near=0.1, far=800.0)
+    if pose == "sunward":
+        # in space facing the HDR sun mesh (albedo (4,4,4) unshaded,
+        # tscn:10-16) with the planet limb below — the direct sun ray
+        # clears the atmosphere, so this is the pose that shows the
+        # Environment glow bloom
+        return Camera.create(look_at((0.0, 130.0, 300.0),
+                                     (0.0, 0.0, 598.677)),
+                             fov_y_deg=70.0, near=0.1, far=800.0)
     raise ValueError(f"unknown pose {pose!r}")

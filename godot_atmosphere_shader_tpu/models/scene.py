@@ -323,9 +323,12 @@ class Scene:
     """A renderable collection: atmospheres + opaque geometry + camera."""
 
     def __init__(self, atmospheres=(), opaque: Optional[OpaqueScene] = None,
-                 large_world: Optional[bool] = None):
+                 large_world: Optional[bool] = None, environment=None):
         self.atmospheres = list(atmospheres)
         self.opaque = opaque
+        #: optional ``render.glow.GlowSettings`` — the Godot Environment
+        #: glow block (tscn import fills it; ``apply_environment`` uses it)
+        self.environment = environment
         self._cam_pos_cache = {}
         #: Camera-relative rendering (the reference's DOUBLE_PRECISION analog,
         #: ``planet_atmosphere_main.gdshaderinc:24-25``): positions are
@@ -424,6 +427,16 @@ class Scene:
                     "procedural or pyramid-compatible cloud fields "
                     "(and a TPU backend)")
         return render_frame(params, configs, camera, opaque, height, width)
+
+    def apply_environment(self, color):
+        """Post-process a rendered linear frame with the scene's Environment
+        settings (glow today; the demo env's HDR bloom around the sun).
+        No-op when the scene carries no environment."""
+        if self.environment is None or not self.environment.enabled:
+            return color
+        from ..render.glow import apply_glow
+
+        return apply_glow(color, self.environment)
 
     def _sync_rebase(self, camera: Camera):
         """Make the packed frame_states camera-relative when large-world mode

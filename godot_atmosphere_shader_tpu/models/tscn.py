@@ -275,6 +275,7 @@ def load_tscn(path: str, procedural: bool = True,
     light_dir = (0.0, 0.0, -1.0)
     star_intensity = 0.0
     panorama = None
+    environment = None
 
     for path, s in nodes.items():
         name = s.get("name", "?")
@@ -343,6 +344,20 @@ def load_tscn(path: str, procedural: bool = True,
             # when the file can't be found/decoded we fall back to the
             # procedural starfield and record why.
             env = deref(s.get("environment"))
+            if env is not None and env.get("glow_enabled"):
+                # Environment glow block (planet_atmosphere_test.tscn:26-35)
+                from ..render.glow import GlowSettings
+
+                lv = tuple(float(env.get(f"glow_levels/{i}",
+                                         1.0 if i in (3, 5) else 0.0))
+                           for i in range(1, 8))
+                environment = GlowSettings(
+                    levels=lv,
+                    intensity=float(env.get("glow_intensity", 0.8)),
+                    strength=float(env.get("glow_strength", 1.04)),
+                    hdr_threshold=float(env.get("glow_hdr_threshold", 1.0)),
+                    hdr_scale=float(env.get("glow_hdr_scale", 2.0)),
+                    bloom=float(env.get("glow_bloom", 0.0)))
             if env is not None and int(env.get("background_mode", 0)) == 2:
                 sky = deref(env.get("sky"))
                 sky_mat = deref(sky.get("sky_material")) if sky else None
@@ -380,7 +395,8 @@ def load_tscn(path: str, procedural: bool = True,
                                 sky_color=(0.001, 0.001, 0.002),
                                 star_intensity=star_intensity,
                                 panorama=panorama)
-    return ImportResult(Scene(atmospheres=atmospheres, opaque=opaque), skipped)
+    return ImportResult(Scene(atmospheres=atmospheres, opaque=opaque,
+                              environment=environment), skipped)
 
 
 def _build_atmosphere(node: dict, deref, procedural: bool,

@@ -215,3 +215,82 @@ def test_cellular_and_weighted_parsed(tmp_path):
     assert spec.weighted_strength == 0.4
     assert spec.cellular_return == "distance2"
     assert spec.cellular_jitter == 0.6
+
+
+# -- custom shaders (planet_atmosphere.gd:118-141) ----------------------------
+
+CUSTOM_SHADER = """shader_type spatial;
+render_mode unshaded;
+
+// gas-giant tuning per atmosphere_funcs_v2.gdshaderinc:42-43
+#define ATMOSPHERE_RAYMARCH_STEPS 64
+#define CLOUDS_ENABLED
+#define CLOUDS_MAX_RAYMARCH_STEPS 48
+//#define CLOUDS_RAYMARCHED_LIGHTING   (commented out: must not count)
+/* #define ATMOSPHERE_LITE */
+#include "include/planet_atmosphere_main.gdshaderinc"
+"""
+
+
+def test_variant_config_from_gdshader():
+    from godot_atmosphere_shader_tpu.models.tscn import (
+        variant_config_from_gdshader)
+
+    cfg = variant_config_from_gdshader(CUSTOM_SHADER)
+    assert cfg.model == "v2"  # commented ATMOSPHERE_LITE ignored
+    assert cfg.atmosphere_steps == 64
+    assert cfg.clouds_enabled
+    assert cfg.cloud_steps == 48
+    assert not cfg.raymarched_lighting  # commented define ignored
+
+
+REFERENCE_SHADERS = "/root/reference/addons/zylann.atmosphere/shaders"
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE_SHADERS),
+                    reason="reference checkout not mounted")
+def test_define_parser_reproduces_all_reference_variants():
+    """Parsing each reference variant shader's text must synthesize exactly
+    the config VARIANTS hand-assigns to it — an independent check that our
+    #define matrix transcription matches the shader files."""
+    from godot_atmosphere_shader_tpu.models.params import VARIANTS
+    from godot_atmosphere_shader_tpu.models.tscn import (
+        variant_config_from_gdshader)
+
+    for name, want in VARIANTS.items():
+        path = os.path.join(REFERENCE_SHADERS,
+                            f"planet_atmosphere_{name}.gdshader")
+        with open(path) as f:
+            got = variant_config_from_gdshader(f.read())
+        assert (got.model, got.atmosphere_steps, got.clouds_enabled,
+                got.raymarched_lighting) == (
+            want.model, want.atmosphere_steps, want.clouds_enabled,
+            want.raymarched_lighting), name
+        if want.clouds_enabled:  # step count is dead config with clouds off
+            assert got.cloud_steps == want.cloud_steps, name
+
+
+def test_custom_shader_file_synthesizes_config(tmp_path):
+    (tmp_path / "my_gas_giant.gdshader").write_text(CUSTOM_SHADER)
+    text = FIXTURE.replace(
+        "res://addons/zylann.atmosphere/shaders/planet_atmosphere_clouds.gdshader",
+        "res://my_gas_giant.gdshader")
+    p = tmp_path / "s.tscn"
+    p.write_text(text)
+    result = load_tscn(str(p))
+    cfg = result.scene.atmospheres[0].config
+    assert cfg.atmosphere_steps == 64
+    assert cfg.clouds_enabled and cfg.cloud_steps == 48
+    assert any("synthesized" in s for s in result.skipped)
+
+
+def test_custom_shader_missing_degrades_to_nearest(tmp_path):
+    text = FIXTURE.replace(
+        "res://addons/zylann.atmosphere/shaders/planet_atmosphere_clouds.gdshader",
+        "res://nowhere/my_clouds_high_variant.gdshader")
+    p = tmp_path / "s.tscn"
+    p.write_text(text)
+    result = load_tscn(str(p))
+    cfg = result.scene.atmospheres[0].config
+    assert cfg.clouds_enabled and cfg.cloud_steps == 64  # nearest: clouds_high
+    assert any("nearest" in s for s in result.skipped)

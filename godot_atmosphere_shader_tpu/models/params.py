@@ -246,6 +246,16 @@ class VariantConfig:
     # (texsample.TexMeta.floor_level).  16 measured as the perf/quality
     # knee at 1080p; raise for close-up texture fidelity.
     texture_window_rows: int = 16
+    # per-z-slice band budget for the banded sampler mode (ROADMAP #9):
+    # when a batch's (y, x) footprint is compact but the z span's S² flat
+    # pitch blows the contiguous window (1:1 close-ups), the sampler loops
+    # the touched z-slices with per-slice windows of this many rows,
+    # restoring fine-level trilinear where windowed mode mips down.
+    # 0 disables.  Engages only where it reaches a strictly finer level.
+    texture_band_rows: int = 16
+    # slice-count cap for banded mode: footprints spanning more z-slices
+    # than this are genuinely minified, so mip-down is the correct filter
+    texture_band_max_slices: int = 32
     # per-frame jitter decorrelation for temporal accumulation: offsets the
     # blue-noise plane by frac(time*phi-multiple) so accumulated frames
     # sample different march offsets/dither (the reference is stuck with a

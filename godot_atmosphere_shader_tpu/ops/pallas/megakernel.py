@@ -197,8 +197,10 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
                 meta_s = config.cloud_shape_tex_meta
 
                 def shape_fn(p, _r=shape_ref, _m=meta_s):
-                    return _ts.sample_tex3d(_r, _m, p.x, p.y, p.z,
-                                            window_rows=w_rows)
+                    return _ts.sample_tex3d(
+                        _r, _m, p.x, p.y, p.z, window_rows=w_rows,
+                        band_rows=config.texture_band_rows,
+                        band_max_slices=config.texture_band_max_slices)
             if config.cloud_coverage_tex_meta is not None:
                 cov_ref = tex_refs[k]
                 meta_c = config.cloud_coverage_tex_meta
@@ -801,11 +803,14 @@ def _render_flight_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
 @functools.partial(
     jax.jit,
     static_argnames=("configs", "height", "width", "block", "with_opaque",
-                     "n_spheres", "n_boxes", "interpret", "pano_meta"))
+                     "n_spheres", "n_boxes", "interpret", "pano_meta",
+                     "clamp_mode"))
 def _render_flight_taa_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
                            configs, height, width, block, with_opaque,
                            n_spheres, n_boxes, blend, interpret=False,
-                           tex_data=None, pano_data=None, pano_meta=None):
+                           tex_data=None, pano_data=None, pano_meta=None,
+                           depth_eps=0.2, clamp_mode="minmax",
+                           clamp_gamma=1.25):
     import dataclasses as _dc
 
     from .taa import taa_resolve
@@ -828,7 +833,9 @@ def _render_flight_taa_jit(params_seq, fs_stacks, cam_stack, camera, opaque,
         b = jnp.where(i == 0, 1.0, jnp.float32(blend))
         resolved, new_depth = taa_resolve(
             out["color"], out["linear_depth"], history, cam_prev, cam, b,
-            height, width, interpret=interpret, history_depth=hist_depth)
+            height, width, interpret=interpret, history_depth=hist_depth,
+            depth_eps=depth_eps, clamp_mode=clamp_mode,
+            clamp_gamma=clamp_gamma)
         return (resolved, new_depth, vtw), (resolved, out["alpha"])
 
     init = (jnp.zeros((height, width, 3), jnp.float32),
@@ -842,7 +849,9 @@ def render_flight_taa(params_seq, fs_stacks, configs, camera: Camera,
                       opaque: Optional[OpaqueScene], height: int, width: int,
                       block: Tuple[int, int] = (32, 128), cam_stack=None,
                       blend: float = 0.15, interpret: bool = False,
-                      tex_data=None, pano_data=None, pano_meta=None) -> dict:
+                      tex_data=None, pano_data=None, pano_meta=None,
+                      depth_eps: float = 0.2, clamp_mode: str = "minmax",
+                      clamp_gamma: float = 1.25) -> dict:
     """Temporally-accumulated flight rendering — the capability the
     reference engine cannot express (no reprojection,
     ``planet_atmosphere_main.gdshaderinc:39-48``).
@@ -873,7 +882,8 @@ def render_flight_taa(params_seq, fs_stacks, configs, camera: Camera,
         jnp.float32(blend), interpret=interpret,
         tex_data=None if tex_data is None else tuple(tex_data),
         pano_data=None if pano_data is None else tuple(pano_data),
-        pano_meta=pano_meta)
+        pano_meta=pano_meta, depth_eps=jnp.float32(depth_eps),
+        clamp_mode=clamp_mode, clamp_gamma=jnp.float32(clamp_gamma))
 
 
 def render_flight_pallas(params_seq, fs_stacks, configs, camera: Camera,

@@ -342,11 +342,32 @@ def _select_by_level(sel_idx, values):
     return out
 
 
-def sample_tex3d(tab_ref, meta: TexMeta, x, y, z, window_rows: int = 48):
+def sample_tex3d(tab_ref, meta: TexMeta, x, y, z, window_rows: int = 48,
+                 band_rows: int = 16, band_max_slices: int = 32):
     """Trilinear 3D sample with repeat wrap at a tile-adaptive mip level.
 
     ``x, y, z``: planes in period units (1.0 = one texture repeat), matching
     :func:`...ops.sampling.sample_trilinear_repeat` semantics at level 0.
+
+    Three modes, finest applicable level wins (ROADMAP #9):
+
+    * **windowed** — the whole footprint's flat span fits one contiguous
+      ``window_rows`` window: one dynamic-start window, 8 lane-gather
+      lookups.  The common case.
+    * **banded** — the (y, x) footprint is compact but the z span's ``S²``
+      flat pitch blows the contiguous window (the 1:1 close-up case, where
+      windowed mode used to mip down 2+ levels): loop the z-slices the batch
+      touches, each with its own ``band_rows`` window anchored at that
+      slice's (y, x) origin; trilinear corners accumulate into the slice
+      their z-index matches.  Costs ``n_slices`` dynamic-start band scans —
+      engaged only where windowed mode would lose resolution, i.e. exactly
+      where the reference's per-pixel hardware LOD would stay at a finer
+      level (``cloud_funcs.gdshaderinc:49`` samples at native LOD).
+      ``band_max_slices`` caps the cost (a footprint spanning more slices
+      than that is genuinely minified, so mip-down is correct).
+      ``band_rows=0`` disables the mode.
+    * **floor** — wrap-straddling batches: nearest sample from the static
+      whole-level floor (unchanged).
     """
     fx = x - jnp.floor(x)
     fy = y - jnp.floor(y)
@@ -357,11 +378,13 @@ def sample_tex3d(tab_ref, meta: TexMeta, x, y, z, window_rows: int = 48):
     maxs = [jnp.max(f) for f in (fx, fy, fz)]
 
     fits = []
+    fits_band = []
     for (S, base) in meta.levels:
         # windowed mode needs: no wrap (i0 ≥ 0 and i1 ≤ S-1 per axis) and
         # the flat span + corner margin within the window
         ok = jnp.asarray(True)
         span = jnp.float32(0.0)
+        spans_ax = []
         for ax, (mn, mx) in enumerate(zip(mins, maxs)):
             i_lo = jnp.floor(mn * S - 0.5)
             i_hi = jnp.floor(mx * S - 0.5) + 1.0
@@ -369,6 +392,7 @@ def sample_tex3d(tab_ref, meta: TexMeta, x, y, z, window_rows: int = 48):
             ok = jnp.logical_and(ok, i_hi <= S - 1.0)
             pitch = float(S ** ax)  # x·1, y·S, z·S² (lin = (z·S + y)·S + x)
             span = span + (i_hi - i_lo) * pitch
+            spans_ax.append(i_hi - i_lo)
         # The window start is aligned DOWN to a 128 boundary (off =
         # (lin_min >> 7) << 7), so the max relative index is
         # span + (lin_min mod 128) — reserve LANES-1 slack or near-budget
@@ -376,8 +400,21 @@ def sample_tex3d(tab_ref, meta: TexMeta, x, y, z, window_rows: int = 48):
         # weights past the window (ADVICE r2 high).
         fits.append(jnp.logical_and(
             ok, span + (LANES - 1) <= window_rows * LANES - 1))
+        # banded mode: per-slice (y, x) span within the band budget (same
+        # alignment slack) and a bounded slice count
+        yx_span = spans_ax[1] * float(S) + spans_ax[0]
+        fits_band.append(jnp.logical_and(
+            jnp.logical_and(
+                ok, yx_span + (LANES - 1) <= band_rows * LANES - 1),
+            spans_ax[2] + 1.0 <= band_max_slices)
+            if band_rows else jnp.asarray(False))
     floor_idx = meta.floor_level(window_rows)
     sel, windowed = _level_scalars(meta, fits, floor_idx)
+    sel_b, banded = _level_scalars(meta, fits_band, floor_idx)
+    # banding engages only when it reaches a strictly finer level than the
+    # contiguous window can (equal level → windowed is cheaper)
+    use_band = jnp.logical_and(
+        banded, jnp.logical_or(jnp.logical_not(windowed), sel_b < sel))
 
     def windowed_branch():
         # finest fitting level, full trilinear within one contiguous window
@@ -420,6 +457,59 @@ def sample_tex3d(tab_ref, meta: TexMeta, x, y, z, window_rows: int = 48):
         return _window_lookup(tab_ref, start_row, lookups, window_rows,
                               meta.rows)
 
+    def banded_branch():
+        S = _select_by_level(sel_b, [lv[0] for lv in meta.levels])
+        base_row = _select_by_level(sel_b, [lv[1] for lv in meta.levels])
+        Si = S.astype(jnp.int32)
+
+        def prep(f):
+            t = f * S - 0.5
+            i0 = jnp.floor(t)
+            frac = t - i0
+            return i0.astype(jnp.int32), frac
+
+        x0, wx = prep(fx)
+        y0, wy = prep(fy)
+        z0, wz = prep(fz)
+        x1, y1, z1 = x0 + 1, y0 + 1, z0 + 1  # no wrap by construction
+
+        iy_lo = jnp.min(y0)
+        ix_lo = jnp.min(x0)
+        iz_lo = jnp.min(z0)
+        n_slices = jnp.max(z1) - iz_lo + 1
+
+        # corner (z-index, in-slice lin, weight); in-slice lin is relative to
+        # the slice origin (iy_lo, ix_lo), identical across slices
+        yx00 = (y0 - iy_lo) * Si + (x0 - ix_lo)
+        yx01 = (y1 - iy_lo) * Si + (x0 - ix_lo)
+        corners = [
+            (z0, yx00, (1 - wz) * (1 - wy) * (1 - wx)),
+            (z0, yx00 + 1, (1 - wz) * (1 - wy) * wx),
+            (z0, yx01, (1 - wz) * wy * (1 - wx)),
+            (z0, yx01 + 1, (1 - wz) * wy * wx),
+            (z1, yx00, wz * (1 - wy) * (1 - wx)),
+            (z1, yx00 + 1, wz * (1 - wy) * wx),
+            (z1, yx01, wz * wy * (1 - wx)),
+            (z1, yx01 + 1, wz * wy * wx),
+        ]
+
+        def slice_body(k, acc):
+            zk = iz_lo + k
+            lin_org = (zk * Si + iy_lo) * Si + ix_lo
+            start_in_level = lin_org >> 7
+            align = lin_org - (start_in_level << 7)  # ≤ LANES-1 slack
+            lookups = []
+            for zc, yx, w in corners:
+                match = zc == zk
+                lookups.append((jnp.where(match, yx + align, 0),
+                                jnp.where(match, w, 0.0)))
+            return acc + _window_lookup(
+                tab_ref, base_row.astype(jnp.int32) + start_in_level,
+                lookups, band_rows, meta.rows)
+
+        return jax.lax.fori_loop(0, n_slices, slice_body,
+                                 jnp.zeros(fx.shape, jnp.float32))
+
     def floor_branch():
         # wrap-straddling batch: scattered flat indices, so scan the whole
         # (static) floor level — and sample NEAREST, not trilinear: one
@@ -440,7 +530,12 @@ def sample_tex3d(tab_ref, meta: TexMeta, x, y, z, window_rows: int = 48):
         return _window_lookup(tab_ref, jnp.int32(base_f), [(lin, one)],
                               level_rows, meta.rows)
 
-    return jax.lax.cond(windowed, windowed_branch, floor_branch)
+    def not_banded():
+        return jax.lax.cond(windowed, windowed_branch, floor_branch)
+
+    if not band_rows:
+        return not_banded()
+    return jax.lax.cond(use_band, banded_branch, not_banded)
 
 
 def sample_latlong(tab_ref, meta: TexMeta, d: Vec3, window_rows: int = 32):

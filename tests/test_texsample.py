@@ -27,12 +27,15 @@ def _tex(s=32):
     return rng.random((s, s, s)).astype(np.float32)
 
 
-def _run3d(data, meta, x, y, z, window_rows=48):
+def _run3d(data, meta, x, y, z, window_rows=48, band_rows=0,
+           band_max_slices=32):
     shape = x.shape
 
     def kern(tab_ref, x_ref, y_ref, z_ref, o_ref):
         o_ref[:] = ts.sample_tex3d(tab_ref, meta, x_ref[:], y_ref[:], z_ref[:],
-                                   window_rows=window_rows)
+                                   window_rows=window_rows,
+                                   band_rows=band_rows,
+                                   band_max_slices=band_max_slices)
 
     return pl.pallas_call(
         kern, out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
@@ -139,6 +142,54 @@ def test_minified_batch_selects_coarser_level():
             ref_tex = ref_tex.reshape(h, 2, h, 2, h, 2).mean(axis=(1, 3, 5))
     assert min(errs) < 2e-6  # exactly one level's trilinear
     assert errs[0] > 0.01  # and it is not the (undersampled) base level
+
+
+def test_banded_restores_base_level_trilinear():
+    """ROADMAP #9: a 1:1 close-up footprint — compact in (y, x) but spanning
+    several z-slices of a 64³ texture — blows the contiguous 16-row window
+    (z pitch 64² = 32 rows/slice) and used to mip down.  Banded mode loops
+    the touched slices and must reproduce level-0 trilinear exactly."""
+    tex = _tex(64)
+    data, meta = ts.build_tex3d_pyramid(tex)
+    # (y, x) ≈ 3 texels each; z spans ~5 texels → flat span ≈ 5·4096 ≫ 2048
+    cx = (20.2 / 64 + (3.0 / 64) * rng.random((16, 128))).astype(np.float32)
+    cy = (33.1 / 64 + (3.0 / 64) * rng.random((16, 128))).astype(np.float32)
+    cz = (11.4 / 64 + (5.0 / 64) * rng.random((16, 128))).astype(np.float32)
+    base = np.asarray(_run3d(data, meta, cx, cy, cz, window_rows=16))
+    ref = np.asarray(sample_trilinear_repeat(jnp.asarray(tex), cx, cy, cz))
+    assert np.abs(base - ref).max() > 0.01  # windowed alone mips down here
+    got = np.asarray(_run3d(data, meta, cx, cy, cz, window_rows=16,
+                            band_rows=16))
+    np.testing.assert_allclose(got, ref, atol=2e-6)
+
+
+def test_banded_slice_cap_falls_back():
+    """A footprint spanning more z-slices than band_max_slices is genuinely
+    minified: banded mode must decline and the result must equal the plain
+    windowed/mip path (band on == band off)."""
+    tex = _tex(64)
+    data, meta = ts.build_tex3d_pyramid(tex)
+    cx = (10.0 / 64 + (2.0 / 64) * rng.random((8, 128))).astype(np.float32)
+    cy = (10.0 / 64 + (2.0 / 64) * rng.random((8, 128))).astype(np.float32)
+    cz = (0.05 + 0.4 * rng.random((8, 128))).astype(np.float32)  # ~26 slices
+    off = np.asarray(_run3d(data, meta, cx, cy, cz, window_rows=16))
+    on = np.asarray(_run3d(data, meta, cx, cy, cz, window_rows=16,
+                           band_rows=16, band_max_slices=8))
+    np.testing.assert_array_equal(on, off)
+
+
+def test_banded_unaligned_base_keeps_weights():
+    """Banded windows are 128-aligned down from each slice origin; the
+    alignment slack must be budgeted (same ADVICE r2 class of bug).  A
+    constant-1 texture must sample to exactly 1 at an odd (y, x) origin."""
+    tex = np.ones((64, 64, 64), np.float32)
+    data, meta = ts.build_tex3d_pyramid(tex)
+    cx = (41.3 / 64 + (9.0 / 64) * rng.random((8, 128))).astype(np.float32)
+    cy = (7.6 / 64 + (12.0 / 64) * rng.random((8, 128))).astype(np.float32)
+    cz = (29.2 / 64 + (4.0 / 64) * rng.random((8, 128))).astype(np.float32)
+    got = np.asarray(_run3d(data, meta, cx, cy, cz, window_rows=16,
+                            band_rows=16))
+    np.testing.assert_allclose(got, 1.0, atol=1e-5)
 
 
 def test_latlong_matches_direct_bilinear():

@@ -125,7 +125,10 @@ def cmd_fly(args) -> None:
         stack = np.stack([np.asarray(c.view_to_world) for c in cams])
         times = [i / 60.0 for i in range(len(cams))]
         out = scene.render_flight(cams[0], times, args.size, args.size,
-                                  cam_transforms=stack, taa_blend=0.15)
+                                  cam_transforms=stack,
+                                  taa_blend=args.taa_blend,
+                                  taa_clamp=args.taa_clamp,
+                                  taa_depth_eps=args.taa_depth_eps)
         colors = np.asarray(out["color"])
         for i in range(colors.shape[0]):
             img = np.asarray(linear_to_srgb(np.clip(colors[i], 0, 1)))
@@ -199,6 +202,12 @@ def _enable_compile_cache() -> None:
 def main(argv=None) -> int:
     _enable_compile_cache()
     p = argparse.ArgumentParser(prog="godot_atmosphere_shader_tpu")
+    p.add_argument("--platform", default=None,
+                   help="force a JAX platform (e.g. 'cpu').  NB the "
+                        "JAX_PLATFORMS env var is NOT enough on images "
+                        "whose TPU plugin grabs the backend at init; this "
+                        "flag applies the programmatic override before any "
+                        "backend is touched")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     r = sub.add_parser("render", help="render a demo-scene frame to PNG")
@@ -258,6 +267,17 @@ def main(argv=None) -> int:
     f.add_argument("-o", "--output-prefix", default="flight_")
     f.add_argument("--taa", action="store_true",
                    help="temporal accumulation (reprojected history blend)")
+    f.add_argument("--taa-blend", type=float, default=0.15,
+                   help="current-frame weight of the TAA blend")
+    f.add_argument("--taa-clamp", default="minmax",
+                   choices=["minmax", "variance"],
+                   help="history clamp: 3x3 min/max box or variance "
+                        "clipping (mu +/- gamma*sigma); measured envelope "
+                        "in tests/test_taa.py::test_clamp_mode_envelope")
+    f.add_argument("--taa-depth-eps", type=float, default=0.2,
+                   help="relative depth-mismatch tolerance of the "
+                        "disocclusion check (default sits mid-plateau: "
+                        "tests/test_taa.py::test_depth_eps_envelope)")
     f.set_defaults(fn=cmd_fly)
 
     t = sub.add_parser("fit", help="inverse rendering: fit params to a target")
@@ -272,6 +292,10 @@ def main(argv=None) -> int:
     k.set_defaults(fn=cmd_benchmark)
 
     args = p.parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
     return 0
 

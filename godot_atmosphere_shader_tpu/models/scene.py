@@ -636,7 +636,10 @@ class Scene:
 
     def render_flight(self, camera: Camera, times, height: int, width: int,
                       cam_transforms=None, renderer: str = "auto",
-                      interpret: bool = False, taa_blend=None):
+                      interpret: bool = False, taa_blend=None,
+                      taa_depth_eps: float = 0.2,
+                      taa_clamp: str = "minmax",
+                      taa_clamp_gamma: float = 1.25):
         """Render K frames in ONE device dispatch (in-graph ``lax.map``).
 
         The animation/flight-path fast mode: per-frame host dispatch
@@ -702,7 +705,10 @@ class Scene:
                                          blend=float(taa_blend),
                                          interpret=interpret,
                                          tex_data=tex_data,
-                                         pano_data=pd, pano_meta=pm)
+                                         pano_data=pd, pano_meta=pm,
+                                         depth_eps=float(taa_depth_eps),
+                                         clamp_mode=taa_clamp,
+                                         clamp_gamma=float(taa_clamp_gamma))
             from ..ops.pallas.megakernel import render_flight_pallas
 
             return render_flight_pallas(params, tuple(fs_stacks), aug_configs,

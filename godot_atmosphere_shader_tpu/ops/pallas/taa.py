@@ -58,7 +58,7 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
                 hr_ref, hg_ref, hb_ref, hd_ref,
                 or_ref, og_ref, ob_ref,
                 wr, wg, wb, wd, sems, *, height, width, bh, bw,
-                win_rows, win_cols):
+                win_rows, win_cols, clamp_mode):
     aspect = width / height
 
     # ---- current-frame ray math (megakernel conventions) ----
@@ -191,15 +191,27 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
     # its history is a ghost.  The neighborhood clamp bounds the residual
     # cases (sub-threshold parallax).
     hist_ld = bilinear(wd)
-    depth_ok = jnp.abs(hist_ld - ld) <= 0.2 * jnp.maximum(ld, 1e-3)
+    depth_eps = scal_ref[0, 31]
+    depth_ok = jnp.abs(hist_ld - ld) <= depth_eps * jnp.maximum(ld, 1e-3)
     valid = jnp.logical_and(valid, depth_ok)
 
     # ---- neighborhood clamp (3x3 of the current tile) ----
+    # clamp_mode "minmax": the classic 3×3 min/max box — cheapest, but a
+    # single bright neighbor widens the box and admits ghosts in that
+    # direction.  "variance": clamp to μ ± γ·σ of the 3×3 (variance
+    # clipping, Salvi/Karis-style) — the measured envelope is in
+    # tests/test_taa.py::test_clamp_mode_envelope: it admits more valid
+    # history on smooth content (less clamp bias) while bounding outliers
+    # tighter where the neighborhood is flat.  γ is packed (scalar 32) so
+    # it can be tuned per-scene without recompiling.
+    clamp_gamma = scal_ref[0, 32]
     outs = (or_ref, og_ref, ob_ref)
     for cur_ref, h, out_ref in zip((cr_ref, cg_ref, cb_ref), hist, outs):
         cur = cur_ref[:]
         nmin = cur
         nmax = cur
+        m1 = cur
+        m2 = cur * cur
         pad_f = pad_ok.astype(jnp.float32)  # Mosaic rotate needs 32-bit data
         row_i = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
         col_i = jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
@@ -224,14 +236,24 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
                     wrap = jnp.logical_or(wrap, col_i == bw - 1)
                 n_ok = jnp.logical_and(n_ok, jnp.logical_not(wrap))
                 n = jnp.where(n_ok, n, cur)  # padded/wrapped taps → center
-                nmin = jnp.minimum(nmin, n)
-                nmax = jnp.maximum(nmax, n)
+                if clamp_mode == "minmax":
+                    nmin = jnp.minimum(nmin, n)
+                    nmax = jnp.maximum(nmax, n)
+                else:
+                    m1 = m1 + n
+                    m2 = m2 + n * n
+        if clamp_mode == "variance":
+            mu = m1 * (1.0 / 9.0)
+            sigma = jnp.sqrt(jnp.maximum(m2 * (1.0 / 9.0) - mu * mu, 0.0))
+            nmin = mu - clamp_gamma * sigma
+            nmax = mu + clamp_gamma * sigma
         h = jnp.clip(h, nmin, nmax)
         a = jnp.where(valid, blend, 1.0)
         out_ref[:] = cur * a + h * (1.0 - a)
 
 
-def _pack_taa_scalars(cam_prev: Camera, cam_cur: Camera, blend) -> jnp.ndarray:
+def _pack_taa_scalars(cam_prev: Camera, cam_cur: Camera, blend, depth_eps,
+                      clamp_gamma) -> jnp.ndarray:
     w2v_prev = cam_prev.world_to_view.reshape(-1)  # 0..15
     rot = cam_cur.view_to_world[:3, :3].reshape(-1)  # 16..24
     pos = cam_cur.view_to_world[:3, 3]  # 25..27
@@ -241,20 +263,35 @@ def _pack_taa_scalars(cam_prev: Camera, cam_cur: Camera, blend) -> jnp.ndarray:
         jnp.asarray(pos, jnp.float32),
         jnp.stack([jnp.tan(cam_cur.fov_y_rad * 0.5),
                    jnp.tan(cam_prev.fov_y_rad * 0.5),
-                   jnp.asarray(blend, jnp.float32)]),
+                   jnp.asarray(blend, jnp.float32),
+                   jnp.asarray(depth_eps, jnp.float32),
+                   jnp.asarray(clamp_gamma, jnp.float32)]),
     ])
     return vals.reshape(1, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "interpret",
+                                             "clamp_mode"))
 def taa_resolve(cur_color, linear_depth, history, cam_prev: Camera,
                 cam_cur: Camera, blend, height: int, width: int,
-                interpret: bool = False, history_depth=None):
+                interpret: bool = False, history_depth=None,
+                depth_eps=0.2, clamp_mode: str = "minmax",
+                clamp_gamma=1.25):
     """Blend ``cur_color`` (H, W, 3) with ``history`` reprojected from
     ``cam_prev`` to ``cam_cur``.  Returns ``(resolved, depth)`` — the
     resolved (H, W, 3) frame and the (clamped) linear depth to carry as the
     next frame's ``history_depth``.  ``history_depth=None`` (first frame)
-    disables the disocclusion check by comparing depth against itself."""
+    disables the disocclusion check by comparing depth against itself.
+
+    ``depth_eps`` — relative depth-mismatch tolerance of the disocclusion
+    check (traced; default 0.2 — the measured envelope in
+    ``tests/test_taa.py::test_depth_eps_envelope``: rejects synthetic
+    disocclusions completely while false-rejecting none of a moving
+    camera's valid history at demo-scene depth gradients).
+    ``clamp_mode`` — "minmax" (3×3 box, default) or "variance"
+    (μ ± ``clamp_gamma``·σ variance clipping; γ is traced)."""
+    if clamp_mode not in ("minmax", "variance"):
+        raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
     bh, bw = 32, 128
     win_rows = min(WIN_ROWS, (height // 8) * 8)
     win_cols = min(WIN_COLS, (width // 128) * 128)
@@ -262,14 +299,15 @@ def taa_resolve(cur_color, linear_depth, history, cam_prev: Camera,
         raise ValueError("taa_resolve needs height %% 8 == 0 and "
                          "width %% 128 == 0 (DMA tile alignment); got "
                          f"{height}x{width}")
-    scalars = _pack_taa_scalars(cam_prev, cam_cur, blend)
+    scalars = _pack_taa_scalars(cam_prev, cam_cur, blend, depth_eps,
+                                clamp_gamma)
     grid = (pl.cdiv(height, bh), pl.cdiv(width, bw))
     tile = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pl.ANY)
     kern = functools.partial(_taa_kernel, height=height, width=width,
                              bh=bh, bw=bw, win_rows=win_rows,
-                             win_cols=win_cols)
+                             win_cols=win_cols, clamp_mode=clamp_mode)
     ld_clamped = jnp.minimum(linear_depth, 1.0e7)
     if history_depth is None:
         history_depth = ld_clamped

@@ -121,25 +121,36 @@ def main() -> None:
     from godot_atmosphere_shader_tpu.ops.optical_depth import bake_optical_depth
 
     h, w = 1080, 1920
-    scene = build_demo_scene(variant="clouds_high", procedural=True)
+    # headline = the PRODUCTION path (scene.render auto → fused megakernel
+    # chain incl. the far-LOD banding plan) on the demo scene's TRUE asset
+    # spec: baked NoiseTexture3D shape + NoiseCubemap coverage riding the
+    # in-kernel VMEM pyramids (PARITY #12 — the reference samples these
+    # textures; procedural fields are this repo's reinterpretation, kept as
+    # the procedural_ms comparison + config rows 3-5).  Since r3 the baked
+    # path is BOTH more reference-faithful and faster.
+    scene = build_demo_scene(variant="clouds_high", procedural=False)
     cam = demo_camera("avatar")
     scene.update(0.0, cam)
-
-    # headline = the PRODUCTION path (scene.render auto → fused megakernel
-    # chain incl. the far-LOD banding plan), timed once; the XLA twin gets
-    # a short reference timing only for the comparison field.  r2 timed the
-    # same scene three ways (~minutes of shared-chip bench time for one
-    # number — VERDICT r2 weak #4).
     try:
-        dt_pallas, _ = _time_frames(lambda: scene.render(cam, h, w),
-                                    scene, cam)
+        dt_tex, _ = _time_frames(lambda: scene.render(cam, h, w),
+                                 scene, cam)
+    except Exception:
+        dt_tex = float("inf")
+
+    scene_p = build_demo_scene(variant="clouds_high", procedural=True)
+    scene_p.update(0.0, cam)
+    try:
+        dt_pallas, _ = _time_frames(lambda: scene_p.render(cam, h, w),
+                                    scene_p, cam, frames=16, repeats=2)
     except Exception:
         dt_pallas = float("inf")
-    dt_xla, _ = _time_frames(lambda: scene.render(cam, h, w, renderer="xla"),
-                             scene, cam, frames=8, repeats=1)
+    dt_xla, _ = _time_frames(
+        lambda: scene_p.render(cam, h, w, renderer="xla"),
+        scene_p, cam, frames=8, repeats=1)
 
-    dt = min(dt_xla, dt_pallas)
-    path = "xla" if dt_xla <= dt_pallas else "pallas"
+    dt = min(dt_xla, dt_pallas, dt_tex)
+    path = ("textures" if dt == dt_tex
+            else "xla" if dt == dt_xla else "pallas")
     mrays = h * w / dt / 1e6
 
     # LUT bake latency (256², 64 steps) — drain-fetched, varying density so
@@ -165,6 +176,8 @@ def main() -> None:
         "xla_ms": round(dt_xla * 1e3, 2),
         "pallas_ms": (None if dt_pallas == float("inf")
                       else round(dt_pallas * 1e3, 2)),
+        "textures_ms": (None if dt_tex == float("inf")
+                        else round(dt_tex * 1e3, 2)),
         "lut_bake_ms": round(bake_ms, 3),
         "configs": configs,
         "device": str(jax.devices()[0]),

@@ -178,6 +178,44 @@ def test_banded_slice_cap_falls_back():
     np.testing.assert_array_equal(on, off)
 
 
+def test_banded_fuzz_always_some_level_trilinear():
+    """Fuzz invariant: whatever mode/level the sampler picks (windowed,
+    banded, or both declining to floor-nearest), a non-straddling batch's
+    output is EXACTLY one pyramid level's trilinear — no mixed or dropped
+    weights.  Random footprint scales/anchors, banded on."""
+    tex = _tex(64)
+    data, meta = ts.build_tex3d_pyramid(tex)
+    frng = np.random.default_rng(21)
+    for trial in range(6):
+        # random per-axis extents from sub-texel to half the texture,
+        # anchored to stay inside [0, 1) (no wrap)
+        ext = frng.uniform(0.01, 0.45, 3)
+        lo = frng.uniform(0.02, 0.95 - ext)
+        cs = [(lo[a] + ext[a] * frng.random((8, 128))).astype(np.float32)
+              for a in range(3)]
+        got = np.asarray(_run3d(data, meta, *cs, window_rows=16,
+                                band_rows=16))
+        errs = []
+        ref_tex = tex
+        for lvl in range(len(meta.levels)):
+            tri = np.asarray(sample_trilinear_repeat(
+                jnp.asarray(ref_tex), *cs))
+            errs.append(np.abs(got - tri).max())
+            # nearest-sampled floor level is also a legal outcome
+            s_l = ref_tex.shape[0]
+
+            def near(c, s=s_l):
+                return np.floor((c - np.floor(c)) * s).astype(int) % s
+
+            nn = ref_tex[near(cs[2]), near(cs[1]), near(cs[0])]
+            errs.append(np.abs(got - nn).max())
+            if ref_tex.shape[0] > 8:
+                hh = ref_tex.shape[0] // 2
+                ref_tex = ref_tex.reshape(hh, 2, hh, 2, hh, 2).mean(
+                    axis=(1, 3, 5))
+        assert min(errs) < 2e-6, (trial, ext, errs)
+
+
 def test_banded_unaligned_base_keeps_weights():
     """Banded windows are 128-aligned down from each slice origin; the
     alignment slack must be budgeted (same ADVICE r2 class of bug).  A

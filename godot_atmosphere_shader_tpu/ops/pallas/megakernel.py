@@ -420,6 +420,14 @@ def _check_config(config: VariantConfig):
             and not config.cloud_coverage_interp):
         raise ValueError("in-kernel texture mode requires "
                          "cloud_coverage_interp")
+    if config.texture_band_rows and (config.texture_band_rows % 8
+                                     or config.texture_band_rows < 0):
+        raise ValueError("texture_band_rows must be 0 (off) or a positive "
+                         "multiple of 8 (vreg chunks); got "
+                         f"{config.texture_band_rows}")
+    if config.texture_band_rows and config.texture_band_max_slices < 1:
+        raise ValueError("texture_band_max_slices must be >= 1 when banding "
+                         "is enabled")
 
 
 def _build_values(params: AtmosphereParams, camera: Camera,

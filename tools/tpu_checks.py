@@ -102,6 +102,52 @@ def check_variant(variant: str, pose: str, h: int, w: int) -> dict:
     return result
 
 
+def check_banded_sampler() -> dict:
+    """Compiled banded texture sampling (r3, PARITY #12): a 1:1 close-up
+    footprint — compact in (y, x), spanning several z-slices of a 64³
+    texture — blows the contiguous 16-row window and must be restored to
+    exact level-0 trilinear by the banded branch ON THE REAL CHIP (the
+    interpret-mode twin is tests/test_texsample.py::test_banded_*)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from godot_atmosphere_shader_tpu.ops.pallas import texsample as ts
+    from godot_atmosphere_shader_tpu.ops.sampling import (
+        sample_trilinear_repeat)
+
+    rng = np.random.default_rng(7)
+    tex = rng.random((64, 64, 64)).astype(np.float32)
+    data, meta = ts.build_tex3d_pyramid(tex)
+    cx = (20.2 / 64 + (3.0 / 64) * rng.random((16, 128))).astype(np.float32)
+    cy = (33.1 / 64 + (3.0 / 64) * rng.random((16, 128))).astype(np.float32)
+    cz = (11.4 / 64 + (5.0 / 64) * rng.random((16, 128))).astype(np.float32)
+
+    def run(band_rows):
+        def kern(tab_ref, x_ref, y_ref, z_ref, o_ref):
+            o_ref[:] = ts.sample_tex3d(tab_ref, meta, x_ref[:], y_ref[:],
+                                       z_ref[:], window_rows=16,
+                                       band_rows=band_rows)
+
+        return np.asarray(pl.pallas_call(
+            kern, out_shape=jax.ShapeDtypeStruct(cx.shape, jnp.float32),
+        )(jnp.asarray(data), jnp.asarray(cx), jnp.asarray(cy),
+          jnp.asarray(cz)))
+
+    got = run(16)
+    off = run(0)
+    ref = np.asarray(sample_trilinear_repeat(jnp.asarray(tex), cx, cy, cz))
+    max_diff = float(np.abs(got - ref).max())
+    engaged = bool(np.abs(got - off).max() > 0.0)
+    return {
+        "variant": "banded-sampler",
+        "pose": "synthetic",
+        "max_abs_diff": max_diff,
+        "engaged": engaged,
+        "pass": bool(max_diff < 1e-5 and engaged),
+    }
+
+
 def check_texture_mode(h: int, w: int) -> dict:
     """Compiled texture mode: the megakernel with baked-texture pyramids.
 
@@ -239,6 +285,12 @@ def main() -> int:
     print(f"{status:4s} {r['variant']:16s} {r['pose']:9s} "
           f"lit-mask agreement {r['lit_mask_agreement']:.3f} "
           f"mean delta {r['mean_brightness_delta']:.3f}")
+    r = check_banded_sampler()
+    results.append(r)
+    status = "ok" if r["pass"] else "FAIL"
+    print(f"{status:4s} banded sampler   L0        "
+          f"max |Δ| vs exact trilinear {r['max_abs_diff']:.2e} "
+          f"(engaged={r['engaged']})")
     r = check_1080p_signature(update=args.update_signature)
     results.append(r)
     status = "ok" if r["pass"] else "FAIL"

@@ -128,15 +128,7 @@ def main() -> None:
     # textures; procedural fields are this repo's reinterpretation, kept as
     # the procedural_ms comparison + config rows 3-5).  Since r3 the baked
     # path is BOTH more reference-faithful and faster.
-    scene = build_demo_scene(variant="clouds_high", procedural=False)
     cam = demo_camera("avatar")
-    scene.update(0.0, cam)
-    try:
-        dt_tex, _ = _time_frames(lambda: scene.render(cam, h, w),
-                                 scene, cam)
-    except Exception:
-        dt_tex = float("inf")
-
     scene_p = build_demo_scene(variant="clouds_high", procedural=True)
     scene_p.update(0.0, cam)
     try:
@@ -147,11 +139,6 @@ def main() -> None:
     dt_xla, _ = _time_frames(
         lambda: scene_p.render(cam, h, w, renderer="xla"),
         scene_p, cam, frames=8, repeats=1)
-
-    dt = min(dt_xla, dt_pallas, dt_tex)
-    path = ("textures" if dt == dt_tex
-            else "xla" if dt == dt_xla else "pallas")
-    mrays = h * w / dt / 1e6
 
     # LUT bake latency (256², 64 steps) — drain-fetched, varying density so
     # each call really bakes
@@ -165,6 +152,17 @@ def main() -> None:
     bake_ms = (time.perf_counter() - tb) / n_bakes * 1e3
 
     configs = bench_all_configs(as_dict=True)
+
+    # the headline texture timing IS config 6 (clouds_high avatar 1080p
+    # baked textures) — measured once there, reused here (no duplicate
+    # minutes on a shared chip, VERDICT r2 weak #4)
+    tex_ms = configs.get("6", {}).get("frame_ms")
+    dt_tex = tex_ms / 1e3 if tex_ms else float("inf")
+
+    dt = min(dt_xla, dt_pallas, dt_tex)
+    path = ("textures" if dt == dt_tex
+            else "xla" if dt == dt_xla else "pallas")
+    mrays = h * w / dt / 1e6
 
     print(json.dumps({
         "metric": "demo scene scattering+clouds_high raymarch at 1080p",

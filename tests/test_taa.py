@@ -320,6 +320,23 @@ def test_clamp_mode_envelope():
     # the box clamp's — the trade documented in the kernel docstring
     assert bias["variance"] < 2.5 * bias["minmax"] + 1e-4, bias
 
+    # --- γ sweep: the knob trades leakage against admission monotonically;
+    # the 1.25 default sits between the tight and loose extremes ---
+    sweep_leak, sweep_bias = {}, {}
+    for g in (0.75, 1.25, 2.0):
+        out = np.asarray(taa_resolve(
+            jnp.asarray(cur), depth, jnp.asarray(ghost), cam, cam, 0.1,
+            H, W, interpret=True, clamp_mode="variance",
+            clamp_gamma=g)[0])
+        sweep_leak[g] = float(np.abs(out - cur).mean())
+        out = np.asarray(taa_resolve(
+            jnp.asarray(noisy), depth, jnp.asarray(smooth), cam, cam, 0.1,
+            H, W, interpret=True, clamp_mode="variance",
+            clamp_gamma=g)[0])
+        sweep_bias[g] = float(np.abs(out - ideal).mean())
+    assert sweep_leak[0.75] <= sweep_leak[1.25] <= sweep_leak[2.0], sweep_leak
+    assert sweep_bias[0.75] >= sweep_bias[1.25] >= sweep_bias[2.0], sweep_bias
+
 
 def test_depth_validity_rejects_disocclusion():
     """History whose reprojected depth disagrees with the current surface is

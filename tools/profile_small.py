@@ -99,6 +99,12 @@ def time_trivial_scan(h, w, frames=FRAMES, repeats=REPEATS):
 
 
 def main():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        print("ERROR: latency decomposition needs the real TPU "
+              f"(got backend {jax.default_backend()!r})", file=sys.stderr)
+        sys.exit(2)
     from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
                                                          demo_camera)
 

@@ -95,6 +95,11 @@ def demo_variant(name: str = "clouds", procedural: bool = True,
             cloud_coverage_knots=8,
             cloud_coverage_lod=2,
             cloud_lod=2,
+            # dynamic 2-knot VMEM indexing instead of the K+1-term hat sum
+            # (ROADMAP #13): measured 237.8 → 255.7 Mrays/s on the texture
+            # flagship (the march interpolates cov+shape+detail knots);
+            # float-rounding-identical (tests/test_knot_dynamic.py)
+            knot_dynamic=True,
         )
     shape = {"value": SHAPE_NOISE_FAST,
              "cellular": SHAPE_NOISE_FAST_CELL}[shape_basis]
@@ -114,6 +119,9 @@ def demo_variant(name: str = "clouds", procedural: bool = True,
         cloud_coverage_knots=8,
         cloud_coverage_lod=2,
         cloud_lod=2,
+        # measured 196.0 → 199.2 Mrays/s procedural (coverage knots only);
+        # see ROADMAP #13 / tests/test_knot_dynamic.py
+        knot_dynamic=True,
     )
 
 

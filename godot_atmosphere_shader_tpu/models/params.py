@@ -233,6 +233,15 @@ class VariantConfig:
     # ~40 windowed lookups per pixel); procedural fields may opt in.
     cloud_shape_interp: bool = False
     cloud_shape_knots: int = 16
+    # megakernel-only: evaluate the knot interpolation by dynamically
+    # indexing the two live knots out of a VMEM knot stack (2 loads + 2
+    # scalar-weight fmas per field per step) instead of the branch-free
+    # K+1-term hat sum (K+1 plane fmas).  Only two hat weights are ever
+    # nonzero and the step phase is a per-step *scalar*, so the result
+    # matches the hat sum to float rounding (measured ≤7e-7 at demo scale;
+    # fma-contraction order is the only difference — the dropped hat terms
+    # are exact +0.0 contributions).  See ROADMAP #13.
+    knot_dynamic: bool = False
     # -- in-kernel texture mode (megakernel with baked textures) ------------
     # static pyramid descriptions, set by the scene plumbing when the layer
     # carries baked textures; the pyramid DATA rides params/extra inputs.

@@ -233,6 +233,19 @@ def _hat_interp(knots, u_scaled):
     return out
 
 
+def _interp_field(endpoints, u01):
+    """Interpolate a knot field at step phase ``u01`` ∈ [0, 1].
+
+    ``endpoints`` is either a tuple of knot planes (hat sum — the XLA path)
+    or a callable accessor built by the megakernel's ``knot_store`` that
+    dynamically indexes the two live knots out of a VMEM stack (only two hat
+    weights are ever nonzero; agrees to float rounding, ~K/2× fewer plane
+    ops)."""
+    if callable(endpoints):
+        return endpoints(u01)
+    return _hat_interp(endpoints, u01 * float(len(endpoints) - 1))
+
+
 def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
                    sun_dir: Vec3, time, settings: CloudSettings, params,
                    shape_fn, coverage_fn, steps: int,
@@ -275,7 +288,6 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
                              * lerp(t_begin, t_end, k / float(K)),
                              params, coverage_fn)
                 for k in range(K + 1))
-        n_knots = len(knots) - 1
     inv_steps_f = 1.0 / float(steps)
 
     def body(i, carry):
@@ -287,13 +299,11 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
         u01 = (fi + 0.5) * inv_steps_f  # step phase along the march
         coverage_value = None
         if coverage_interp:
-            coverage_value = _hat_interp(knots, u01 * float(n_knots))
+            coverage_value = _interp_field(knots, u01)
         shape_value = (None if shape_endpoints is None else
-                       _hat_interp(shape_endpoints,
-                                   u01 * float(len(shape_endpoints) - 1)))
+                       _interp_field(shape_endpoints, u01))
         detail_value = (None if detail_endpoints is None else
-                        _hat_interp(detail_endpoints,
-                                    u01 * float(len(detail_endpoints) - 1)))
+                        _interp_field(detail_endpoints, u01))
         light = get_light(pos, ray_dir, sun_dir, jitter, alpha, time,
                           settings, params, shape_fn, coverage_fn,
                           raymarched_lighting, always_low, pos_len=pos_len,
@@ -331,7 +341,7 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
                   return_raw: bool = False, coverage_knots: int = 8,
                   coverage_lod: int = 1, normalize_layout=None,
                   shape_interp: bool = False, shape_knots: int = 16,
-                  knot_group: int = 1):
+                  knot_group: int = 1, knot_store=None):
     """``render_clouds`` (:249-324) over whole pixel planes.
 
     ``ray_origin``/``ray_dir``/``sun_dir``/``planet_center`` are **world**
@@ -475,6 +485,14 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
 
     def march(knots):
         knots = knots or {}
+        if knot_store is not None:
+            # megakernel dynamic-knot mode: park each field's knot planes in
+            # the VMEM knot stack and hand the march an accessor (2 dynamic
+            # loads per step) instead of the plane tuple (K+1 fmas per
+            # step).  Done here — after the cull bound consumed the raw
+            # coverage tuple above.
+            knots = {name: knot_store(name, planes)
+                     for name, planes in knots.items()}
         light, a = raymarch_cloud(
             ro_model, rd_model, t_begin, t_end_m, jitter, sd_model, time,
             settings, params, shape_fn, coverage_fn, steps,
@@ -543,7 +561,7 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
                       cull: bool = False, coverage_knots: int = 8,
                       coverage_lod: int = 1, normalize_layout=None,
                       shape_interp: bool = False, shape_knots: int = 16,
-                      knot_group: int = 1):
+                      knot_group: int = 1, knot_store=None):
     """Vertical cloud LOD: march once per ``lod``-row group, blend full-res.
 
     The TPU analog of rendering clouds into a reduced-resolution buffer
@@ -612,7 +630,8 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
         coverage_interp=coverage_interp, cull=cull, return_raw=True,
         coverage_knots=coverage_knots, coverage_lod=coverage_lod,
         normalize_layout=normalize_layout, shape_interp=shape_interp,
-        shape_knots=shape_knots, knot_group=knot_group)
+        shape_knots=shape_knots, knot_group=knot_group,
+        knot_store=knot_store)
 
     return apply_cloud_blend(albedo, alpha, up(light_c), up(alpha_c),
                              up(visible_c.astype(jnp.float32)) > 0.5,

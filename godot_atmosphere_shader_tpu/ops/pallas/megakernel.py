@@ -176,6 +176,7 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
     aspect = width / height
 
     needs_scratch = _needs_lod_scratch(config)
+    knot_rows = _knot_scratch_rows(config)
     n_tex = _n_tex_inputs(config)
 
     def kernel(scal_ref, blue_ref, *refs):
@@ -219,6 +220,37 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
             def sky_fn(d, _refs=pano_refs, _m=pano_meta):
                 return Vec3(*(_ts.sample_latlong(r, _m, d, window_rows=32)
                               for r in _refs))
+        knot_store = None
+        if knot_rows:
+            # dynamic-knot mode: knots for ALL interp fields live in one
+            # VMEM stack for the whole march; the march body loads the two
+            # live knots per step by dynamic leading-dim index (2 loads + 2
+            # scalar-weight fmas per field) instead of folding the K+1-term
+            # hat sum (K+1 plane fmas).  Matches the hat sum to float
+            # rounding (fma-contraction order only; the dropped terms are
+            # exact +0.0) — measured ≤7e-7 at demo scale.
+            knot_scratch = refs[-1]
+            refs = refs[:-1]
+            knot_offs = _knot_offsets(config)
+
+            def knot_store(name, planes, _s=knot_scratch, _offs=knot_offs):
+                off = _offs[name]
+                h2 = planes[0].shape[0]
+                for k, p in enumerate(planes):
+                    _s[off + k, :h2, :] = p
+                n = len(planes) - 1
+
+                def accessor(u01, _off=off, _n=n, _h2=h2):
+                    u = u01 * float(_n)
+                    k0 = jnp.clip(jnp.floor(u), 0.0, float(_n - 1))
+                    k0i = k0.astype(jnp.int32)
+                    wa = jnp.maximum(0.0, 1.0 - jnp.abs(u - k0))
+                    wb = jnp.maximum(0.0, 1.0 - jnp.abs(u - (k0 + 1.0)))
+                    a = _s[_off + k0i, :_h2, :]
+                    b = _s[_off + k0i + 1, :_h2, :]
+                    return a * wa + b * wb
+
+                return accessor
         if needs_scratch:
             # VMEM scratch for the coarse cloud planes: a store+load
             # round-trip resets the strided layout the LOD downsample
@@ -360,7 +392,7 @@ def _make_kernel(config: VariantConfig, layout: _Layout, n_spheres: int,
         rgb, alpha, mask = shade_atmosphere(
             params_view, config, ray_origin, ray_dir, linear_depth, jitter,
             planet_center, normalize_layout=normalize_layout,
-            shape_fn=shape_fn, coverage_fn=coverage_fn)
+            shape_fn=shape_fn, coverage_fn=coverage_fn, knot_store=knot_store)
 
         a = jnp.where(mask, alpha, 0.0)
         out_r[:] = bg.x * (1.0 - a) + rgb.x * a
@@ -392,6 +424,40 @@ def _scratch_rows(config: VariantConfig) -> int:
     if config.cloud_shape_interp:
         rows = max(rows, config.cloud_shape_knots + 1)
     return rows
+
+
+def _knot_scratch_rows(config: VariantConfig) -> int:
+    """Plane slots for the dynamic-knot VMEM stack (``knot_dynamic``): all
+    interp fields' knots live there concurrently for the whole march, so the
+    body can fetch the two live knots per step by dynamic index instead of
+    folding K+1 hat terms (ROADMAP #13)."""
+    if not (config.clouds_enabled and config.knot_dynamic):
+        return 0
+    rows = 0
+    if config.cloud_coverage_interp:
+        rows += config.cloud_coverage_knots + 1
+    if config.cloud_shape_interp:
+        rows += config.cloud_shape_knots + 1
+        if not config.clouds_always_low_quality:
+            rows += config.cloud_shape_knots + 1  # detail field
+    return rows
+
+
+def _knot_offsets(config: VariantConfig) -> dict:
+    """Static row offset of each interp field inside the knot stack; keys
+    match ops/clouds.py::render_clouds's ``_field_plan`` names."""
+    offs = {}
+    r = 0
+    if config.cloud_coverage_interp:
+        offs["cov"] = r
+        r += config.cloud_coverage_knots + 1
+    if config.cloud_shape_interp:
+        offs["shp"] = r
+        r += config.cloud_shape_knots + 1
+        if not config.clouds_always_low_quality:
+            offs["det"] = r
+            r += config.cloud_shape_knots + 1
+    return offs
 
 
 def _n_tex_inputs(config: VariantConfig) -> int:
@@ -561,6 +627,12 @@ def _render_pallas_jit(params, camera, opaque, config, height, width, block,
         rows = _scratch_rows(config)
         scratch_shapes = [pltpu.VMEM((rows, bh // config.cloud_lod, bw),
                                      jnp.float32)]
+    krows = _knot_scratch_rows(config)
+    if krows:
+        # appended last → popped first in the kernel (knot stack at march
+        # resolution: bh // cloud_lod rows per plane)
+        scratch_shapes = scratch_shapes + [
+            pltpu.VMEM((krows, bh // config.cloud_lod, bw), jnp.float32)]
     outs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -88,7 +88,7 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                      ray_origin: Vec3, ray_dir: Vec3,
                      linear_depth: jnp.ndarray, jitter: jnp.ndarray,
                      planet_center: Vec3, normalize_layout=None,
-                     shape_fn=None, coverage_fn=None,
+                     shape_fn=None, coverage_fn=None, knot_store=None,
                      ) -> Tuple[Vec3, jnp.ndarray, jnp.ndarray]:
     """The pure elementwise shading core — shared verbatim by the XLA path
     and the Pallas megakernel (same jnp ops, bit-identical math).
@@ -153,7 +153,7 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                     normalize_layout=normalize_layout,
                     shape_interp=config.cloud_shape_interp,
                     shape_knots=config.cloud_shape_knots,
-                    knot_group=kgroup)
+                    knot_group=kgroup, knot_store=knot_store)
             else:
                 rgb, alpha = render_clouds(
                     rgb, alpha, planet_center, ray_origin, ray_dir,
@@ -168,7 +168,7 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                     normalize_layout=normalize_layout,
                     shape_interp=config.cloud_shape_interp,
                     shape_knots=config.cloud_shape_knots,
-                    knot_group=kgroup)
+                    knot_group=kgroup, knot_store=knot_store)
         return rgb.x, rgb.y, rgb.z, alpha
 
     if config.tile_cull:

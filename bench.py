@@ -31,6 +31,11 @@ BASELINE_MRAYS = 120.0
 FRAMES = 32
 REPEATS = 3
 
+# repeat driver runs skip recompilation (the cache key covers code changes)
+from godot_atmosphere_shader_tpu.cli import _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()
+
 
 def _time_frames(render_fn, scene, cam, frames=FRAMES, repeats=REPEATS):
     """Steady-state per-frame seconds: min over repeats, plus spread.
@@ -88,19 +93,34 @@ def _bench_config(variant, pose, h, w, multi, flight):
     if flight:
         # small frames are dispatch-overhead-bound interactively; the
         # in-graph frame loop (Scene.render_flight) measures true device
-        # throughput for animation/flight rendering
-        times = [0.016 * (i + 1) for i in range(FRAMES)]
-        f = scene.render_flight(cam, times, h, w)
-        _ = np.asarray(f["color"][0, 0, 0])  # compile + drain
-        best = float("inf")
-        for r in range(REPEATS):
-            t0 = time.perf_counter()
-            f = scene.render_flight(cam, [t + 0.6 * (r + 1) for t in times],
-                                    h, w)
-            _ = np.asarray(f["color"][0, 0, 0])
-            best = min(best, (time.perf_counter() - t0) / FRAMES)
-        out["flight_frame_ms"] = round(best * 1e3, 2)
-        out["flight_mrays_per_s"] = round(h * w / best / 1e6, 2)
+        # throughput for animation/flight rendering.  One drain fetch
+        # through the tunnel costs ~24 ms (tools/profile_small.py), so a
+        # single-K timing would hide the device time under measurement
+        # artifact at these resolutions: time two frame counts and report
+        # the MARGINAL per-frame cost (the device), plus the fixed term
+        # (the drain) so the artifact shows both.
+        def flight_total(frames, shift):
+            times = [0.016 * (i + 1) + shift for i in range(frames)]
+            f = scene.render_flight(cam, times, h, w)
+            _ = np.asarray(f["color"][0, 0, 0])  # compile + drain
+            best = float("inf")
+            for r in range(REPEATS + 2):
+                t0 = time.perf_counter()
+                f = scene.render_flight(
+                    cam, [t + 0.6 * (r + 1) for t in times], h, w)
+                _ = np.asarray(f["color"][0, 0, 0])
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        # two-point marginal with a WIDE frame spread: the per-frame device
+        # time (~0.1-0.3 ms here) must be resolved under multi-ms tunnel
+        # noise, so the K difference is chosen to make the signal ~tens of ms
+        k0, k1 = 32, 352
+        t0s, t1s = flight_total(k0, 0.0), flight_total(k1, 3.1)
+        marginal = (t1s - t0s) / float(k1 - k0)
+        out["flight_frame_ms"] = round(marginal * 1e3, 3)
+        out["flight_mrays_per_s"] = round(h * w / marginal / 1e6, 2)
+        out["flight_fixed_ms"] = round((t0s - k0 * marginal) * 1e3, 2)
     return out
 
 

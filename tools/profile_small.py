@@ -1,21 +1,28 @@
 """Small-frame latency decomposition (VERDICT r2 weak #3 / next #10).
 
 BENCH_r02 config 1 showed 44 Mrays/s interactive at 256² (≈1.5 ms/frame)
-vs 56 in-graph (≈1.16 ms/frame): even with zero host dispatch the device
-spends ~1 ms/frame on a frame that is ~0.3 ms of shading at flagship rates.
-This tool separates the contributions on the real chip:
+vs 56 in-graph (≈1.16 ms/frame).  Root cause (measured r3): the tunnel
+to the TPU costs ~24 ms per *device→host fetch* round-trip, and the old
+methodology divided one drain fetch over only 32 frames — 0.75 ms/frame
+of pure measurement artifact.  Interactive mode additionally pays a
+per-dispatch host→device send (~1.5–2.5 ms observed).
 
-* interactive per-frame (per-dispatch tunnel cost included),
-* in-graph flight per-frame (zero host dispatch),
-* a resolution sweep of the flight mode → fixed-vs-per-pixel split by a
-  linear fit over pixel count,
-* a trivial-kernel scan baseline → the lax.map / per-frame launch floor
-  with no shading at all.
+This tool separates the terms honestly on the real chip:
+
+* **tunnel round-trip**: a tiny jitted add + fetch, min over 20 reps —
+  the fixed cost every drain-fetched timing pays once per sample;
+* **interactive per-frame** (per-dispatch send included) at two configs;
+* **flight frame-count sweep**: total time at K ∈ {32, 96, 224} frames →
+  linear fit gives the *fixed* term (≈ the tunnel drain) and the
+  *marginal* device per-frame time — the number that means anything;
+* **resolution sweep of the marginal** (flight mode, K 32→160) →
+  device fixed-per-frame vs per-pixel split;
+* **trivial-kernel scan baseline** at two frame counts → the true
+  per-frame launch overhead of `lax.map` over a no-op Pallas call.
 
 Writes one JSON line; run on the real TPU (not meaningful on CPU).
 """
 
-import functools
 import json
 import sys
 import time
@@ -24,7 +31,6 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-FRAMES = 32
 REPEATS = 3
 
 
@@ -32,7 +38,23 @@ def _drain(x):
     return np.asarray(x)  # device->host fetch: the only true sync point
 
 
-def time_flight(scene, cam, h, w, frames=FRAMES, repeats=REPEATS):
+def measure_rtt(reps: int = 20) -> float:
+    """Tunnel round-trip seconds: tiny jit + fetch, min over reps."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda v: v + 1.0)
+    _drain(f(jnp.float32(0.0)))
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        _drain(f(jnp.float32(i)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def flight_total(scene, cam, h, w, frames, repeats=REPEATS):
+    """Best TOTAL seconds for a K-frame flight render incl. one drain."""
     times = [0.016 * (i + 1) for i in range(frames)]
     out = scene.render_flight(cam, times, h, w)
     _drain(out["color"][0, 0, 0])
@@ -42,11 +64,11 @@ def time_flight(scene, cam, h, w, frames=FRAMES, repeats=REPEATS):
         out = scene.render_flight(cam, [t + 0.7 * (r + 1) for t in times],
                                   h, w)
         _drain(out["color"][0, 0, 0])
-        best = min(best, (time.perf_counter() - t0) / frames)
+        best = min(best, time.perf_counter() - t0)
     return best
 
 
-def time_interactive(scene, cam, h, w, frames=FRAMES, repeats=REPEATS):
+def time_interactive(scene, cam, h, w, frames=32, repeats=REPEATS):
     scene.update(0.0, cam)
     _drain(scene.render(cam, h, w)["color"][0, 0])
     best = float("inf")
@@ -60,9 +82,9 @@ def time_interactive(scene, cam, h, w, frames=FRAMES, repeats=REPEATS):
     return best
 
 
-def time_trivial_scan(h, w, frames=FRAMES, repeats=REPEATS):
+def trivial_scan_totals(h, w, frame_counts, repeats=REPEATS):
     """lax.map over a do-nothing pallas kernel on the same tile grid: the
-    pure per-frame launch/scan floor."""
+    pure per-frame launch/scan floor, reported as totals per frame count."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -87,15 +109,27 @@ def time_trivial_scan(h, w, frames=FRAMES, repeats=REPEATS):
 
         return jax.lax.map(one, seed_stack)
 
-    seeds = jnp.arange(frames, dtype=jnp.float32)
-    _drain(run(seeds)[0, 0, 0])
-    best = float("inf")
-    for r in range(repeats):
-        t0 = time.perf_counter()
-        out = run(seeds + 100.0 * (r + 1))
-        _drain(out[0, 0, 0])
-        best = min(best, (time.perf_counter() - t0) / frames)
-    return best
+    totals = {}
+    for frames in frame_counts:
+        seeds = jnp.arange(frames, dtype=jnp.float32)
+        _drain(run(seeds)[0, 0, 0])
+        best = float("inf")
+        for r in range(repeats):
+            t0 = time.perf_counter()
+            out = run(seeds + 100.0 * (r + 1))
+            _drain(out[0, 0, 0])
+            best = min(best, time.perf_counter() - t0)
+        totals[frames] = best
+    return totals
+
+
+def _marginal_fixed(totals: dict):
+    """Least-squares line through (frames, total_s): slope = device
+    per-frame seconds, intercept = fixed cost (≈ drain round-trip)."""
+    ks = np.array(list(totals), np.float64)
+    ts = np.array([totals[int(k)] for k in ks], np.float64)
+    slope, fixed = np.polyfit(ks, ts, 1)
+    return float(slope), float(fixed)
 
 
 def main():
@@ -105,10 +139,14 @@ def main():
         print("ERROR: latency decomposition needs the real TPU "
               f"(got backend {jax.default_backend()!r})", file=sys.stderr)
         sys.exit(2)
+    from godot_atmosphere_shader_tpu.cli import _enable_compile_cache
     from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
                                                          demo_camera)
 
-    results = {}
+    _enable_compile_cache()
+    results = {"tunnel_rtt_ms": round(measure_rtt() * 1e3, 3)}
+
+    frame_counts = (32, 96, 224)
     for label, variant, pose, h, w in [
         ("cfg1_256", "v1_no_clouds", "exterior", 256, 256),
         ("cfg2_512", "no_clouds", "exterior", 512, 512),
@@ -116,31 +154,42 @@ def main():
         scene = build_demo_scene(variant=variant, procedural=True)
         cam = demo_camera(pose, height=h, width=w)
         dt_i = time_interactive(scene, cam, h, w)
-        dt_f = time_flight(scene, cam, h, w)
+        totals = {k: flight_total(scene, cam, h, w, k) for k in frame_counts}
+        marg, fixed = _marginal_fixed(totals)
         results[label] = {
             "interactive_ms": round(dt_i * 1e3, 3),
-            "flight_ms": round(dt_f * 1e3, 3),
-            "dispatch_overhead_ms": round((dt_i - dt_f) * 1e3, 3),
             "interactive_mrays": round(h * w / dt_i / 1e6, 1),
-            "flight_mrays": round(h * w / dt_f / 1e6, 1),
+            "flight_totals_ms": {str(k): round(v * 1e3, 2)
+                                 for k, v in totals.items()},
+            "flight_fixed_ms": round(fixed * 1e3, 3),
+            "flight_marginal_ms": round(marg * 1e3, 3),
+            "flight_device_mrays": round(h * w / marg / 1e6, 1),
+            "dispatch_overhead_ms": round((dt_i - marg) * 1e3, 3),
         }
 
-    # resolution sweep (flight mode, config-1 variant): fixed + slope fit
+    # resolution sweep of the device marginal (flight, config-1 variant)
     sweep = {}
     scene = build_demo_scene(variant="v1_no_clouds", procedural=True)
     for s in (128, 256, 512, 1024):
         cam = demo_camera("exterior", height=s, width=s)
-        sweep[s] = time_flight(scene, cam, s, s, frames=16, repeats=2)
-    px = np.array([s * s for s in sweep])
-    dt = np.array(list(sweep.values()))
+        t32 = flight_total(scene, cam, s, s, 32, repeats=2)
+        t160 = flight_total(scene, cam, s, s, 160, repeats=2)
+        sweep[s] = (t160 - t32) / 128.0
+    px = np.array([s * s for s in sweep], np.float64)
+    dt = np.array(list(sweep.values()), np.float64)
     slope, fixed = np.polyfit(px, dt, 1)
-    results["sweep"] = {str(s): round(v * 1e3, 3) for s, v in sweep.items()}
+    results["marginal_sweep_ms"] = {str(s): round(v * 1e3, 4)
+                                    for s, v in sweep.items()}
     results["fit"] = {
-        "fixed_ms_per_frame": round(float(fixed) * 1e3, 3),
-        "throughput_mrays": round(1.0 / float(slope) / 1e6, 1),
+        "device_fixed_ms_per_frame": round(float(fixed) * 1e3, 4),
+        "device_throughput_mrays": round(1.0 / float(slope) / 1e6, 1),
     }
-    results["trivial_scan_256_ms"] = round(
-        time_trivial_scan(256, 256) * 1e3, 3)
+    tt = trivial_scan_totals(256, 256, (32, 224))
+    results["trivial_scan_256"] = {
+        "marginal_us_per_frame": round(
+            (tt[224] - tt[32]) / 192.0 * 1e6, 1),
+        "totals_ms": {str(k): round(v * 1e3, 2) for k, v in tt.items()},
+    }
     print(json.dumps(results))
 
 

@@ -33,6 +33,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from godot_atmosphere_shader_tpu.cli import _enable_compile_cache  # noqa: E402
+
+_enable_compile_cache()  # repeat verification runs skip recompilation
+
 # Compiled Mosaic vs XLA tolerance.  The two backends share one trace
 # (interpret-mode parity in tests/test_pallas.py holds to 2e-5); compiled
 # they differ by fma-contraction/transcendental rounding.  The cloud
@@ -196,6 +200,46 @@ def check_texture_mode(h: int, w: int) -> dict:
     return result
 
 
+def check_sharded_band(h: int, w: int) -> dict:
+    """COMPILED sharded megakernel on the real chip.
+
+    The production multi-chip path (``render_frame_pallas_sharded``: row
+    bands via shard_map, row0 through the SMEM scalar block, per-band
+    jitter slices) was validated in interpret mode (tests/
+    test_pallas_sharded.py) and on the virtual CPU mesh
+    (``__graft_entry__.dryrun_multichip``) — this runs it Mosaic-compiled
+    on the hardware mesh (1 device here: the band machinery, dynamic row
+    offsets and jitter alignment all still execute) and asserts the
+    claimed band-vs-full bit-match."""
+    from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
+                                                         demo_camera)
+    from godot_atmosphere_shader_tpu.ops.pallas.megakernel import (
+        render_frame_pallas)
+    from godot_atmosphere_shader_tpu.parallel.sharding import (
+        make_mesh, render_frame_pallas_sharded)
+
+    scene = build_demo_scene(variant="clouds", procedural=True)
+    cam = demo_camera("avatar")
+    scene.update(0.5, cam)
+    atmo = scene.atmospheres[0]
+    params, config = atmo.build_params(), atmo.config
+    mesh = make_mesh()
+
+    sharded = np.asarray(render_frame_pallas_sharded(
+        params, config, cam, scene.opaque, h, w, mesh))
+    full = np.asarray(render_frame_pallas(
+        params, config, cam, scene.opaque, h, w)["color"])
+    delta = float(np.abs(sharded - full).max())
+    return {
+        "variant": "sharded-band megakernel",
+        "pose": "avatar",
+        "n_devices": int(len(mesh.devices.ravel())),
+        "band_vs_full_max_delta": delta,
+        "finite": bool(np.isfinite(sharded).all()),
+        "pass": bool(delta == 0.0 and np.isfinite(sharded).all()),
+    }
+
+
 SIG_PATH = "tests/golden_1080p_sig.npz"
 SIG_BLOCK = (8, 128)  # fine enough to localize tile-boundary artifacts
 SIG_MEAN_TOL = 3e-3
@@ -291,6 +335,12 @@ def main() -> int:
     print(f"{status:4s} banded sampler   L0        "
           f"max |Δ| vs exact trilinear {r['max_abs_diff']:.2e} "
           f"(engaged={r['engaged']})")
+    r = check_sharded_band(h, w)
+    results.append(r)
+    status = "ok" if r["pass"] else "FAIL"
+    print(f"{status:4s} sharded band     avatar    "
+          f"band-vs-full max Δ {r['band_vs_full_max_delta']:.2e} "
+          f"({r['n_devices']} device(s))")
     r = check_1080p_signature(update=args.update_signature)
     results.append(r)
     status = "ok" if r["pass"] else "FAIL"

@@ -32,9 +32,10 @@ FRAMES = 32
 REPEATS = 3
 
 # repeat driver runs skip recompilation (the cache key covers code changes)
-from godot_atmosphere_shader_tpu.cli import _enable_compile_cache  # noqa: E402
+from godot_atmosphere_shader_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compile_cache)
 
-_enable_compile_cache()
+enable_compile_cache()
 
 
 def _time_frames(render_fn, scene, cam, frames=FRAMES, repeats=REPEATS):
@@ -114,13 +115,20 @@ def _bench_config(variant, pose, h, w, multi, flight):
 
         # two-point marginal with a WIDE frame spread: the per-frame device
         # time (~0.1-0.3 ms here) must be resolved under multi-ms tunnel
-        # noise, so the K difference is chosen to make the signal ~tens of ms
+        # noise, so the K difference is chosen to make the signal ~tens of
+        # ms.  (profile_small.py's original decomposition swept 32/96/224;
+        # bench widens the far point to 352 for a cleaner slope — same
+        # methodology, wider lever arm.)
         k0, k1 = 32, 352
         t0s, t1s = flight_total(k0, 0.0), flight_total(k1, 3.1)
         marginal = (t1s - t0s) / float(k1 - k0)
         out["flight_frame_ms"] = round(marginal * 1e3, 3)
         out["flight_mrays_per_s"] = round(h * w / marginal / 1e6, 2)
-        out["flight_fixed_ms"] = round((t0s - k0 * marginal) * 1e3, 2)
+        # raw totals make a pathological fit visible; the fixed term (the
+        # drain round-trip) can't be negative, so clamp the extrapolation
+        out["flight_fixed_ms"] = round(max(0.0, t0s - k0 * marginal) * 1e3, 2)
+        out["flight_totals_ms"] = {str(k0): round(t0s * 1e3, 2),
+                                   str(k1): round(t1s * 1e3, 2)}
     return out
 
 

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 import time
 
@@ -183,24 +182,10 @@ def cmd_benchmark(args) -> None:
     subprocess.run([sys.executable, "bench.py"], check=True)
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA/Mosaic compile cache — repeat CLI invocations skip the
-    (multi-second, remote-compile-service) first compile."""
-    import jax
-
-    cache_dir = os.environ.get(
-        "ATMO_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "atmo_jax"))
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except (OSError, AttributeError):
-        pass
-
-
 def main(argv=None) -> int:
-    _enable_compile_cache()
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="godot_atmosphere_shader_tpu")
     p.add_argument("--platform", default=None,
                    help="force a JAX platform (e.g. 'cpu').  NB the "

@@ -139,11 +139,12 @@ def main():
         print("ERROR: latency decomposition needs the real TPU "
               f"(got backend {jax.default_backend()!r})", file=sys.stderr)
         sys.exit(2)
-    from godot_atmosphere_shader_tpu.cli import _enable_compile_cache
     from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
                                                          demo_camera)
+    from godot_atmosphere_shader_tpu.utils.compile_cache import (
+        enable_compile_cache)
 
-    _enable_compile_cache()
+    enable_compile_cache()
     results = {"tunnel_rtt_ms": round(measure_rtt() * 1e3, 3)}
 
     frame_counts = (32, 96, 224)

@@ -33,9 +33,8 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from godot_atmosphere_shader_tpu.cli import _enable_compile_cache  # noqa: E402
-
-_enable_compile_cache()  # repeat verification runs skip recompilation
+from godot_atmosphere_shader_tpu.utils.compile_cache import (  # noqa: E402
+    enable_compile_cache)
 
 # Compiled Mosaic vs XLA tolerance.  The two backends share one trace
 # (interpret-mode parity in tests/test_pallas.py holds to 2e-5); compiled
@@ -306,6 +305,7 @@ def main() -> int:
                     help="regenerate the committed 1080p block signature")
     args = ap.parse_args()
     h, w = (int(x) for x in args.size.split("x"))
+    enable_compile_cache()  # repeat verification runs skip recompilation
 
     import jax
 

@@ -74,7 +74,51 @@ CONFIGS = [
 ]
 
 
-def _bench_config(variant, pose, h, w, multi, flight):
+# resolution for the XLA cost-analysis pass (flops/pixel is resolution-
+# independent — every march is a fixed-count loop — so analyze small)
+COST_RES = (128, 256)
+
+
+def _load_vpu_peak():
+    """Measured roofline ceilings from tools/vpu_peak.py (None if not run)."""
+    import os
+    if not os.path.exists("VPU_PEAK.json"):
+        return None
+    with open("VPU_PEAK.json") as f:
+        return json.load(f)
+
+
+def _mfu_fields(scene, cam, dt, h, w, peak):
+    """MFU / roofline accounting (VERDICT r3 weak #3): flops per pixel from
+    XLA's cost model of the shared shading trace, achieved GFLOP/s at the
+    measured frame time, and %-of-measured-VPU-peak.  ``roofline_ms`` is
+    the arithmetic lower bound for the frame from the measured fma and
+    transcendental rates (transcendentals don't overlap fmas on the VPU's
+    special-function path, so the bound is additive)."""
+    from godot_atmosphere_shader_tpu.utils.profiling import frame_cost
+
+    atmos = tuple(a.build_params() for a in scene.atmospheres)
+    cfgs = tuple(a.config for a in scene.atmospheres)
+    try:
+        cost = frame_cost(atmos, cfgs, cam, scene.opaque, *COST_RES)
+    except Exception as e:  # cost model unavailable — report why, not zeros
+        return {"mfu_error": f"{type(e).__name__}: {e}"}
+    fpp = cost["flops_per_pixel"]
+    tpp = cost["transcendentals_per_pixel"]
+    n = h * w
+    out = {"flops_per_pixel": round(fpp, 1),
+           "transcendentals_per_pixel": round(tpp, 1),
+           "gflops": round(fpp * n / dt / 1e9, 1)}
+    if peak:
+        roofline_s = (fpp * n / (peak["fma_gflops"] * 1e9)
+                      + tpp * n / (peak["exp_geps"] * 1e9))
+        out["mfu"] = round(out["gflops"] / peak["fma_gflops"], 3)
+        out["roofline_ms"] = round(roofline_s * 1e3, 2)
+        out["roofline_frac"] = round(roofline_s / dt, 3)
+    return out
+
+
+def _bench_config(variant, pose, h, w, multi, flight, peak=None):
     from godot_atmosphere_shader_tpu.models.demo import build_demo_scene, demo_camera
     from godot_atmosphere_shader_tpu.models.scene import PlanetAtmosphere
 
@@ -91,6 +135,11 @@ def _bench_config(variant, pose, h, w, multi, flight):
     out = {"frame_ms": round(dt * 1e3, 2),
            "mrays_per_s": round(h * w / dt / 1e6, 2),
            "spread": round(spread, 2)}
+    if procedural:
+        # MFU only where the timed path and the cost model share the trace:
+        # the texture mode samples VMEM pyramids instead of procedural
+        # noise, so the XLA cost model does not describe its work
+        out.update(_mfu_fields(scene, cam, dt, h, w, peak))
     if flight:
         # small frames are dispatch-overhead-bound interactively; the
         # in-graph frame loop (Scene.render_flight) measures true device
@@ -135,9 +184,10 @@ def _bench_config(variant, pose, h, w, multi, flight):
 def bench_all_configs(as_dict=False):
     """``--all``: one line per config (human-friendly).  Also reused by the
     default mode to embed the full matrix in the single JSON artifact line."""
+    peak = _load_vpu_peak()
     results = {}
     for num, label, variant, pose, h, w, multi, flight in CONFIGS:
-        r = _bench_config(variant, pose, h, w, multi, flight)
+        r = _bench_config(variant, pose, h, w, multi, flight, peak=peak)
         results[num] = dict(r, config=label)
         if not as_dict:
             print(json.dumps(dict(config=f"{num} {label}", **r)))
@@ -206,6 +256,7 @@ def main() -> None:
                         else round(dt_tex * 1e3, 2)),
         "lut_bake_ms": round(bake_ms, 3),
         "configs": configs,
+        "vpu_peak": _load_vpu_peak(),
         "device": str(jax.devices()[0]),
     }))
 

@@ -639,7 +639,8 @@ class Scene:
                       interpret: bool = False, taa_blend=None,
                       taa_depth_eps: float = 0.2,
                       taa_clamp: str = "minmax",
-                      taa_clamp_gamma: float = 1.25):
+                      taa_clamp_gamma: float = 1.25,
+                      mesh=None, taa_halo: int = 32):
         """Render K frames in ONE device dispatch (in-graph ``lax.map``).
 
         The animation/flight-path fast mode: per-frame host dispatch
@@ -649,6 +650,12 @@ class Scene:
         ``cam_transforms`` an optional (K, 4, 4) stack of per-frame camera
         ``view_to_world`` transforms (a fly path).  Returns
         ``color (K, H, W, 3)`` and ``alpha (K, H, W)``.
+
+        ``mesh`` (with ``taa_blend``): row-shard the TAA flight over a
+        device mesh — TAA reprojection is the one cross-chip communication
+        in the design; each shard exchanges ``taa_halo`` boundary history
+        rows with its neighbors per frame over ICI
+        (``parallel/sharding.py::render_flight_taa_sharded``).
         """
         times = np.asarray(times, np.float32)
         cam_pos, cam_near = self._cam_info(camera)  # ONE device fetch
@@ -693,6 +700,19 @@ class Scene:
         pd, pm = (pano if pano is not None else (None, None))
         if renderer != "xla" and plan is not None:
             aug_configs, tex_data = plan
+            if taa_blend is not None and mesh is not None:
+                # multi-chip TAA flight: row bands + per-frame halo
+                # exchange of boundary history rows (VERDICT r3 #3)
+                from ..parallel.sharding import render_flight_taa_sharded
+
+                return render_flight_taa_sharded(
+                    params, tuple(fs_stacks), aug_configs, camera, opaque,
+                    height, width, mesh, cam_stack=cam_transforms,
+                    blend=float(taa_blend), halo=taa_halo,
+                    interpret=interpret, tex_data=tex_data,
+                    pano_data=pd, pano_meta=pm,
+                    depth_eps=float(taa_depth_eps), clamp_mode=taa_clamp,
+                    clamp_gamma=float(taa_clamp_gamma))
             if taa_blend is not None:
                 # temporally-accumulated flight (ops/pallas/taa.py) — a
                 # capability the reference engine lacks (no reprojection)

@@ -683,6 +683,60 @@ def render_band_pallas(params: AtmosphereParams, config: VariantConfig,
             "linear_depth": ld}
 
 
+def render_scene_band_pallas(params_seq, configs, camera: Camera,
+                             opaque: Optional[OpaqueScene], height: int,
+                             width: int, row0, band_height: int,
+                             block: Tuple[int, int] = (32, 128),
+                             interpret: bool = False, tex_data=None,
+                             pano_data=None, pano_meta=None) -> dict:
+    """Rows ``[row0, row0 + band_height)`` of the full far→near multi-layer
+    chain (the everything-on composite: opaque fuse + panorama sky +
+    texture-pyramid clouds + every atmosphere layer) — the per-shard body
+    for multi-chip scene rendering (``parallel/sharding.py``).
+
+    Layer 0 fuses the opaque pass over the band; later layers composite
+    over the carried band color/linear-depth exactly like
+    ``_chain_layers``'s fullscreen chain.  ``row0`` may be traced (e.g.
+    ``jax.lax.axis_index`` · rows-per-shard).  The single-chip far-LOD
+    per-layer banding is a latency optimization subsumed here by the shard
+    split — band-vs-full equality is what the on-chip gate pins, so the
+    assembled shard bands equal the single-chip frame.  Returns ``color``
+    (band_height, W, 3), ``alpha`` and ``linear_depth`` (band_height, W).
+    """
+    for c in configs:
+        _check_config(c)
+    from ...render.jitter import jitter_plane
+
+    n = len(configs)
+    tex = tex_data or (None,) * n
+    n_spheres = int(opaque.sphere_centers.shape[0]) if opaque is not None else 0
+    n_boxes = int(opaque.box_world_to_box.shape[0]) if opaque is not None else 0
+    if opaque is not None and getattr(opaque, "panorama", None) is not None:
+        opaque = dataclasses.replace(opaque, panorama=None)
+    row0i = jnp.asarray(row0, jnp.int32)
+    row0f = row0i.astype(jnp.float32)
+    jb = jax.lax.dynamic_slice(jitter_plane(height, width), (row0i, 0),
+                               (band_height, width))
+    out = _render_pallas_jit(
+        params_seq[0], camera, opaque, configs[0], height, width, block,
+        opaque is not None, n_spheres, n_boxes, interpret=interpret,
+        row0=row0f, out_height=band_height, jitter_band=jb,
+        want_depth=True, stacked=True, tex_data=tex[0],
+        pano_data=pano_data, pano_meta=pano_meta)
+    alpha = out["alpha"]
+    for i in range(1, n):
+        res = _render_pallas_jit(
+            params_seq[i], camera, None, configs[i], height, width, block,
+            False, 0, 0, interpret=interpret,
+            background=(out["color"], out["linear_depth"]),
+            row0=row0f, out_height=band_height, jitter_band=jb,
+            want_depth=True, stacked=True, tex_data=tex[i])
+        alpha = jnp.maximum(alpha, res["alpha"])
+        out = res
+    out["alpha"] = alpha
+    return out
+
+
 def render_frame_pallas(params: AtmosphereParams, config: VariantConfig,
                         camera: Camera, opaque: Optional[OpaqueScene],
                         height: int, width: int,

@@ -58,14 +58,22 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
                 hr_ref, hg_ref, hb_ref, hd_ref,
                 or_ref, og_ref, ob_ref,
                 wr, wg, wb, wd, sems, *, height, width, bh, bw,
-                win_rows, win_cols, clamp_mode):
+                win_rows, win_cols, clamp_mode, hist_rows):
     aspect = width / height
 
     # ---- current-frame ray math (megakernel conventions) ----
+    # row0 (scalar 33): global row of this call's first row — nonzero when
+    # resolving one shard's band of a row-sharded frame; hist_row0 (scalar
+    # 34): global row of the history array's first row (band start − halo).
+    # Both are exactly 0.0 single-chip, where every added/subtracted term
+    # below is a bitwise no-op — the sharded and unsharded kernels share
+    # this one code path.
+    row0f = scal_ref[0, 33]
+    hist_row0f = scal_ref[0, 34]
     by = pl.program_id(0)
     bx = pl.program_id(1)
     iy = (by * bh + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 0)
-          ).astype(jnp.float32)
+          ).astype(jnp.float32) + row0f
     ix = (bx * bw + jax.lax.broadcasted_iota(jnp.int32, (bh, bw), 1)
           ).astype(jnp.float32)
     ndc_x = 2.0 * (ix + 0.5) / width - 1.0
@@ -115,10 +123,15 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
     # → huge coordinates) must not drag the window away from the pixels
     # that do have history (ADVICE r2); invalid pixels fall back to their
     # own on-screen position so an all-invalid tile windows itself.
-    py_base = jnp.where(valid, py, iy)
+    # history-local row coordinates (global − hist_row0; bitwise identity
+    # when hist_row0 == 0): the window DMA and bilinear address the history
+    # ARRAY, which in sharded mode is just the halo'd local band
+    pyl = py - hist_row0f
+    iyl = iy - hist_row0f
+    py_base = jnp.where(valid, pyl, iyl)
     px_base = jnp.where(valid, px, ix)
     ry0 = jnp.clip(jnp.floor(jnp.min(py_base)).astype(jnp.int32) - 2,
-                   0, height - win_rows)
+                   0, hist_rows - win_rows)
     ry0 = pl.multiple_of((ry0 >> 3) << 3, 8)
     rx0 = jnp.clip(jnp.floor(jnp.min(px_base)).astype(jnp.int32) - 8,
                    0, width - win_cols)
@@ -135,7 +148,7 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
         dma.wait()
 
     # window-relative coordinates; out-of-window → invalid (extreme motion)
-    ryf = py - ry0.astype(jnp.float32)
+    ryf = pyl - ry0.astype(jnp.float32)
     rxf = px - rx0.astype(jnp.float32)
     valid = jnp.logical_and(valid, ryf >= 0.0)
     valid = jnp.logical_and(valid, ryf <= win_rows - 1.001)
@@ -253,7 +266,7 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
 
 
 def _pack_taa_scalars(cam_prev: Camera, cam_cur: Camera, blend, depth_eps,
-                      clamp_gamma) -> jnp.ndarray:
+                      clamp_gamma, row0, hist_row0) -> jnp.ndarray:
     w2v_prev = cam_prev.world_to_view.reshape(-1)  # 0..15
     rot = cam_cur.view_to_world[:3, :3].reshape(-1)  # 16..24
     pos = cam_cur.view_to_world[:3, 3]  # 25..27
@@ -265,7 +278,9 @@ def _pack_taa_scalars(cam_prev: Camera, cam_cur: Camera, blend, depth_eps,
                    jnp.tan(cam_prev.fov_y_rad * 0.5),
                    jnp.asarray(blend, jnp.float32),
                    jnp.asarray(depth_eps, jnp.float32),
-                   jnp.asarray(clamp_gamma, jnp.float32)]),
+                   jnp.asarray(clamp_gamma, jnp.float32),
+                   jnp.asarray(row0, jnp.float32),        # 33
+                   jnp.asarray(hist_row0, jnp.float32)]),  # 34
     ])
     return vals.reshape(1, -1)
 
@@ -276,7 +291,7 @@ def taa_resolve(cur_color, linear_depth, history, cam_prev: Camera,
                 cam_cur: Camera, blend, height: int, width: int,
                 interpret: bool = False, history_depth=None,
                 depth_eps=0.2, clamp_mode: str = "minmax",
-                clamp_gamma=1.25):
+                clamp_gamma=1.25, row0=0.0, hist_row0=0.0):
     """Blend ``cur_color`` (H, W, 3) with ``history`` reprojected from
     ``cam_prev`` to ``cam_cur``.  Returns ``(resolved, depth)`` — the
     resolved (H, W, 3) frame and the (clamped) linear depth to carry as the
@@ -289,25 +304,37 @@ def taa_resolve(cur_color, linear_depth, history, cam_prev: Camera,
     disocclusions completely while false-rejecting none of a moving
     camera's valid history at demo-scene depth gradients).
     ``clamp_mode`` — "minmax" (3×3 box, default) or "variance"
-    (μ ± ``clamp_gamma``·σ variance clipping; γ is traced)."""
+    (μ ± ``clamp_gamma``·σ variance clipping; γ is traced).
+
+    Band mode (multi-chip row sharding, ``parallel/sharding.py``):
+    ``cur_color``/``linear_depth`` may be one shard's rows of a
+    ``height``-row frame starting at global row ``row0`` (traced), with
+    ``history``/``history_depth`` that shard's halo-extended history band
+    whose first row is global row ``hist_row0`` (traced; band start −
+    halo).  ``height``/``width`` stay the FULL frame dims (they drive the
+    NDC projection).  Single-chip callers leave both offsets at 0.0, which
+    is bitwise inert in the kernel."""
     if clamp_mode not in ("minmax", "variance"):
         raise ValueError(f"unknown clamp_mode {clamp_mode!r}")
     bh, bw = 32, 128
-    win_rows = min(WIN_ROWS, (height // 8) * 8)
+    h_local = int(cur_color.shape[0])
+    hist_rows = int(history.shape[0])
+    win_rows = min(WIN_ROWS, (hist_rows // 8) * 8)
     win_cols = min(WIN_COLS, (width // 128) * 128)
-    if height % 8 or width % 128:
-        raise ValueError("taa_resolve needs height %% 8 == 0 and "
-                         "width %% 128 == 0 (DMA tile alignment); got "
-                         f"{height}x{width}")
+    if h_local % 8 or width % 128 or hist_rows % 8:
+        raise ValueError("taa_resolve needs rows %% 8 == 0 (both current "
+                         "and history) and width %% 128 == 0 (DMA tile "
+                         f"alignment); got {h_local}/{hist_rows} x {width}")
     scalars = _pack_taa_scalars(cam_prev, cam_cur, blend, depth_eps,
-                                clamp_gamma)
-    grid = (pl.cdiv(height, bh), pl.cdiv(width, bw))
+                                clamp_gamma, row0, hist_row0)
+    grid = (pl.cdiv(h_local, bh), pl.cdiv(width, bw))
     tile = pl.BlockSpec((bh, bw), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pl.ANY)
     kern = functools.partial(_taa_kernel, height=height, width=width,
                              bh=bh, bw=bw, win_rows=win_rows,
-                             win_cols=win_cols, clamp_mode=clamp_mode)
+                             win_cols=win_cols, clamp_mode=clamp_mode,
+                             hist_rows=hist_rows)
     ld_clamped = jnp.minimum(linear_depth, 1.0e7)
     if history_depth is None:
         history_depth = ld_clamped
@@ -318,7 +345,7 @@ def taa_resolve(cur_color, linear_depth, history, cam_prev: Camera,
                                memory_space=pltpu.SMEM),
                   tile, tile, tile, tile, full, full, full, full],
         out_specs=[tile] * 3,
-        out_shape=[jax.ShapeDtypeStruct((height, width), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((h_local, width), jnp.float32)] * 3,
         scratch_shapes=[pltpu.VMEM((win_rows, win_cols), jnp.float32)] * 4
         + [pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,

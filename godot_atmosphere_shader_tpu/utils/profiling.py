@@ -78,3 +78,45 @@ def trace(log_dir: str = "/tmp/atmo_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def frame_cost(atmospheres, configs, camera, opaque, height: int,
+               width: int) -> dict:
+    """Per-pixel FLOP/transcendental counts from XLA's cost analysis.
+
+    The megakernel and the XLA path share one shading trace
+    (``render/atmosphere_pass.shade_atmosphere``), so the compiled XLA
+    path's cost model is a faithful arithmetic inventory of the work the
+    kernel performs per shaded pixel.  Counts scale linearly with pixels
+    (every march is a fixed-count loop), so analyze at a small resolution
+    and scale by the pixel ratio — ``flops_per_pixel`` is
+    resolution-independent.
+
+    Caveats (documented, not hidden): tile culling in the Pallas path
+    skips shell-missing tiles, and the in-kernel texture mode replaces
+    procedural noise with pyramid sampling — both make the *achieved*
+    kernel flops differ from this full-frame shading model.  The MFU the
+    bench reports is therefore "full-frame shading-model FLOP throughput",
+    the roofline-comparable quantity.
+
+    Returns ``{"flops_per_pixel", "transcendentals_per_pixel",
+    "bytes_per_pixel", "analyzed_at"}``.
+    """
+    from ..render.renderer import _render_jit
+
+    if not isinstance(atmospheres, tuple):
+        atmospheres = tuple(atmospheres)
+    if not isinstance(configs, tuple):
+        configs = tuple(configs)
+    lowered = _render_jit.lower(atmospheres, configs, camera, opaque,
+                                height, width)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    n = float(height * width)
+    return {
+        "flops_per_pixel": float(cost.get("flops", 0.0)) / n,
+        "transcendentals_per_pixel": float(cost.get("transcendentals", 0.0)) / n,
+        "bytes_per_pixel": float(cost.get("bytes accessed", 0.0)) / n,
+        "analyzed_at": (height, width),
+    }

@@ -114,3 +114,55 @@ def test_taa_flight_all_features(all_on_scene):
     d01 = np.abs(f[1] - f[0]).mean()
     d12 = np.abs(f[2] - f[1]).mean()
     assert d12 <= d01 + 1e-6
+
+
+def test_all_on_sharded_matches_unsharded(all_on_scene):
+    """The everything-on composite through shard_map (VERDICT r3 #4): the
+    row-sharded multi-planet chain with texture pyramids + panorama
+    replicated as traced args equals the unsharded render, and the glow
+    stage runs on the sharded output under plain jit (GSPMD places its
+    cross-row halo exchanges)."""
+    import jax
+
+    from godot_atmosphere_shader_tpu.ops.pallas.megakernel import (
+        render_scene_pallas)
+    from godot_atmosphere_shader_tpu.parallel.sharding import (
+        make_mesh, render_scene_pallas_sharded)
+
+    scene = all_on_scene
+    cam = demo_camera("space")
+    scene.update(0.25, cam)
+    orig = jax.default_backend
+    jax.default_backend = lambda: "tpu"
+    try:
+        order, params, configs = scene._sorted_layers(cam)
+        plan = scene._pallas_plan(params, configs)
+        pano = scene._pano_plan()
+    finally:
+        jax.default_backend = orig
+    assert plan is not None and pano is not None
+    aug_configs, tex_data = plan
+    h, w = 64, 128
+
+    full = render_scene_pallas(params, aug_configs, cam, scene.opaque,
+                               h, w, block=(8, 128), tex_data=tex_data,
+                               pano_data=pano[0], pano_meta=pano[1],
+                               interpret=True)
+    mesh = make_mesh(jax.devices()[:4])
+    shard = render_scene_pallas_sharded(params, aug_configs, cam,
+                                        scene.opaque, h, w, mesh,
+                                        block=(8, 128), tex_data=tex_data,
+                                        pano_data=pano[0], pano_meta=pano[1],
+                                        interpret=True)
+    img_f = np.asarray(full["color"])
+    img_s = np.asarray(shard["color"])
+    np.testing.assert_allclose(img_s, img_f, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(shard["alpha"]),
+                               np.asarray(full["alpha"]), atol=1e-5)
+
+    # glow over the still-sharded output: plain XLA under jit — GSPMD
+    # inserts whatever collectives the multi-scale blur needs
+    glowed_s = np.asarray(jax.jit(scene.apply_environment)(shard["color"]))
+    glowed_f = np.asarray(scene.apply_environment(img_f))
+    assert np.isfinite(glowed_s).all()
+    np.testing.assert_allclose(glowed_s, glowed_f, atol=1e-5)

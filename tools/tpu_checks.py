@@ -209,7 +209,20 @@ def check_sharded_band(h: int, w: int) -> dict:
     (``__graft_entry__.dryrun_multichip``) — this runs it Mosaic-compiled
     on the hardware mesh (1 device here: the band machinery, dynamic row
     offsets and jitter alignment all still execute) and asserts the
-    claimed band-vs-full bit-match."""
+    claimed band-vs-full bit-match.
+
+    The check is deliberately strict (delta == 0.0, no tolerance): the
+    algorithm has zero cross-pixel communication, so any nonzero delta is
+    a real compilation-context divergence.  Round 3 shipped this red at a
+    deterministic 5.107e-4; bisection on the chip showed every kernel
+    signature toggle (want_depth, jitter BlockSpec, traced row0,
+    out_height) bit-exact and pinned the cause to closure-captured
+    params: XLA constant-folds the scalar preamble (tan, rigid_inverse)
+    on host with rounding that differs from the device computation, and
+    the cloud density chain amplifies the ulp-level difference.  The
+    production path now passes params/camera/opaque through the jit as
+    traced arguments (``parallel/sharding.py::render_frame_pallas_sharded``),
+    which this check holds to zero — do not weaken it to a tolerance."""
     from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
                                                          demo_camera)
     from godot_atmosphere_shader_tpu.ops.pallas.megakernel import (

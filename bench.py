@@ -71,6 +71,10 @@ CONFIGS = [
     # in-kernel texture mode (r2): baked 64^3 shape + 256^2 coverage riding
     # the megakernel as VMEM mip pyramids (PARITY #12)
     ("6", "clouds_high 1080p baked textures", "clouds_high:tex", "avatar", 1080, 1920, False, False),
+    # gas-giant tier (r4): 64 atmosphere steps, optically-thick R/H=40
+    # shell, limb pose = full-traversal chords (PROFILES['gas_giant'],
+    # GAS_GIANT_STUDY.json)
+    ("7", "gas_giant 64-step limb 1080p", "gas_giant", "limb", 1080, 1920, False, False),
 ]
 
 
@@ -124,7 +128,14 @@ def _bench_config(variant, pose, h, w, multi, flight, peak=None):
 
     procedural = not variant.endswith(":tex")
     variant = variant.split(":")[0]
-    scene = build_demo_scene(variant=variant, procedural=procedural)
+    if variant == "gas_giant":
+        from godot_atmosphere_shader_tpu.models.demo import (
+            build_gas_giant_scene, gas_giant_camera)
+
+        scene = build_gas_giant_scene()
+        demo_camera = gas_giant_camera
+    else:
+        scene = build_demo_scene(variant=variant, procedural=procedural)
     if multi:
         scene.atmospheres.append(PlanetAtmosphere(
             planet_radius=10.0, atmosphere_height=2.0,

@@ -31,6 +31,15 @@ def cmd_render(args) -> None:
         scene = result.scene
         for note in result.skipped:
             print(f"  (skipped: {note})")
+    elif args.variant == "gas_giant":
+        from .models.demo import build_gas_giant_scene, gas_giant_camera
+
+        scene = build_gas_giant_scene()
+        if args.pose in ("avatar", "sunrise", "sunward"):
+            raise SystemExit(f"pose {args.pose!r} is rocky-demo-only; "
+                             "gas_giant poses: limb, exterior, interior, "
+                             "space")
+        demo_camera = gas_giant_camera
     else:
         scene = build_demo_scene(variant=args.variant,
                                  procedural=not args.textures,
@@ -199,10 +208,10 @@ def main(argv=None) -> int:
     r.add_argument("--variant", default="clouds",
                    choices=["no_clouds", "clouds", "clouds_high",
                             "clouds_high_rm", "v1_no_clouds", "v1_clouds",
-                            "v1_clouds_high"])
+                            "v1_clouds_high", "gas_giant"])
     r.add_argument("--pose", default="space",
                    choices=["avatar", "exterior", "interior", "space",
-                            "sunrise", "sunward"])
+                            "sunrise", "sunward", "limb"])
     r.add_argument("--size", type=int, default=512)
     r.add_argument("--width", type=int, default=None)
     r.add_argument("--time", type=float, default=0.0)

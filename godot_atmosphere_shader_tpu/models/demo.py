@@ -197,6 +197,74 @@ def build_demo_scene(variant: str = "clouds", procedural: bool = True,
     return Scene(atmospheres=[atmo], opaque=opaque)
 
 
+def build_gas_giant_scene() -> Scene:
+    """The gas-giant tier scene (``PROFILES['gas_giant']``, 64 atmo steps).
+
+    The reference anticipates this regime in-source
+    (``atmosphere_funcs_v2.gdshaderinc:42-43``: gas giants want ~64 steps)
+    but ships no scene for it; this builder provides the measured fixture:
+    R/H = 40 (R=1000, H=25) with ``u_density = 2.0`` — optically THICK
+    (grazing full-traversal chords reach OD ≈ 8000, transmittance ≈ 0),
+    which is what makes the 8-step rocky march visibly diverge (max 0.26
+    vs converged; 64 steps reach 0.035 — GAS_GIANT_STUDY.json).  The
+    opaque R=1000 sphere stands in for the optically-solid deck below the
+    shell.  No clouds: the cloud layer is a rocky-demo feature; the
+    gas-giant tier stresses the atmosphere integrator.
+    """
+    from .params import PROFILES
+
+    sun = Node3D(position=(0.0, 0.0, 5986.77), name="Sun")
+    atmo = PlanetAtmosphere(
+        planet_radius=1000.0,
+        atmosphere_height=25.0,
+        sun=sun,
+        custom_shader=PROFILES["gas_giant"],
+        name="GasGiant",
+    )
+    atmo.set_shader_parameter("u_density", 2.0)
+    atmo.set_shader_parameter("u_scattering_strength", 1.0)
+    atmo.set_shader_parameter("u_atmosphere_modulate", (1.0, 0.95, 0.85))
+    atmo.set_shader_parameter("u_atmosphere_ambient_color",
+                              (0.02, 0.015, 0.01))
+
+    deck_albedo = tuple(np.asarray(
+        srgb_to_linear(np.array([0.76, 0.64, 0.47], np.float32))))
+    opaque = OpaqueScene.create(
+        spheres=[
+            ((0.0, 0.0, 0.0), 1000.0, deck_albedo),  # opaque deck
+            ((0.0, 0.0, 5986.77), 200.0, (4.0, 4.0, 4.0), 1.0),  # sun
+        ],
+        light_dir=(0.0, 0.0, -1.0),
+        ambient=0.02,
+        sky_color=(0.001, 0.001, 0.002),
+        star_intensity=1.0,
+    )
+    return Scene(atmospheres=[atmo], opaque=opaque)
+
+
+def gas_giant_camera(pose: str = "limb", height: int = 1080,
+                     width: int = 1920) -> Camera:
+    """Named poses for the gas-giant scene (10× the rocky demo's scale).
+
+    ``limb`` is the tier's stress pose: every ray through the shell is a
+    full-traversal optically-thick chord (the geometry the 64-step
+    guidance exists for)."""
+    if pose == "limb":
+        return Camera.create(look_at((0.0, 0.0, 3000.0), (0.0, 1012.0, 0.0)),
+                             fov_y_deg=70.0, near=1.0, far=8000.0)
+    if pose == "exterior":
+        return Camera.create(look_at((1800.0, 600.0, 1800.0), (0.0, 0.0, 0.0)),
+                             fov_y_deg=70.0, near=1.0, far=8000.0)
+    if pose == "interior":  # inside the shell, grazing the horizon
+        eye = (0.0, 1020.0, 0.0)
+        return Camera.create(look_at(eye, (1000.0, 1012.0, 0.0)),
+                             fov_y_deg=70.0, near=1.0, far=8000.0)
+    if pose == "space":
+        return Camera.create(look_at((0.0, 1500.0, 4200.0), (0.0, 0.0, 0.0)),
+                             fov_y_deg=70.0, near=1.0, far=8000.0)
+    raise ValueError(f"unknown gas-giant pose {pose!r}")
+
+
 def default_node_scene() -> Scene:
     """The drag-and-drop default node scene
     (``/root/reference/addons/zylann.atmosphere/planet_atmosphere.tscn:8-15``):

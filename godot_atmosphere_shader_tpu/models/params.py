@@ -297,3 +297,20 @@ VARIANTS = {
 }
 
 DEFAULT_VARIANT = "no_clouds"  # planet_atmosphere.gd:13-14
+
+#: Named step-count profiles beyond the reference's 7 shader files, from the
+#: reference's own in-source guidance.  ``gas_giant`` is the 64-step
+#: atmosphere tier ``atmosphere_funcs_v2.gdshaderinc:42-43`` anticipates
+#: ("Rocky planets don't need much [8 works], gas giants need more
+#: [64 works]") — in the reference a user reaches it by editing
+#: ``ATMOSPHERE_RAYMARCH_STEPS`` in a custom shader (our ``.gdshader``
+#: importer synthesizes the same config from that #define).  Measured basis
+#: for 64 (``tools/gas_giant_study.py`` → GAS_GIANT_STUDY.json, pinned by
+#: ``tests/test_gas_giant.py``): on optically-thick full-traversal rays at
+#: R/H = 40–100, the 8-step march is off by up to 0.26–0.34 vs converged
+#: while 64 steps reach 0.035–0.057; the analytic sun-OD path needs NO
+#: extra quadrature there (GL-8 rel error ≤ 5.5e-5 at OD up to 1.9e5 —
+#: the reference's own 256² LUT carries 3.1%).
+PROFILES = {
+    "gas_giant": VariantConfig(model="v2", atmosphere_steps=64),
+}

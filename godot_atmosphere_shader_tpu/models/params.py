@@ -276,6 +276,16 @@ class VariantConfig:
     # G-ways at the cost of the group sharing one mip level (the union
     # footprint).  Applied only when texture metas are present.
     texture_knot_group: int = 8
+    # seamless cubemap filtering (PARITY #10): GL's samplerCube blends
+    # across face boundaries (`cloud_funcs.gdshaderinc:45`); when True the
+    # XLA coverage sampler extends the cubemap with a 1-texel adjacent-face
+    # border per frame and samples the extended stack
+    # (ops/sampling.py::sample_cubemap_seamless) — seam-band error drops
+    # from 3.5e-3 to the 4e-4 bilinear filter floor, interior footprints
+    # match per-face clamp to 1 ulp (measured, tests/test_seam.py).  False
+    # = per-face clamp, the semantics the GDShader-text oracle transcribes
+    # (hardware seam blending isn't in the shader text).
+    cubemap_seamless: bool = True
 
 
 #: The reference's shader variant files, name → config

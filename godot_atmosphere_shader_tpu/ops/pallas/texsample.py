@@ -153,11 +153,13 @@ def latlong_dirs(height: int, width: int) -> Vec3:
 def build_latlong_pyramid(faces, width: int = 512) -> Tuple[np.ndarray, TexMeta]:
     """Cubemap ``(6, R, R)`` → lat-long mip pyramid ``(width, width/2)``.
 
-    The resample goes through :func:`..sampling.sample_cubemap_bilinear`
-    (the XLA-path sampler), so both paths read the same cubemap content; the
+    The resample goes through the seamless cubemap sampler
+    (:func:`..sampling.sample_cubemap_seamless`, PARITY #10 — since r4 the
+    XLA path's default too), so both paths read the same cubemap content
+    and no per-face clamp error is frozen into the regrid texels; the
     lat-long re-gridding error is part of the measured texture-mode delta.
     """
-    from ..sampling import sample_cubemap_bilinear
+    from ..sampling import extend_cubemap_borders, sample_cubemap_seamless
 
     if width & (width - 1) or width < 64 or width > 2048:
         raise ValueError(f"latlong width must be a power of two in "
@@ -165,7 +167,8 @@ def build_latlong_pyramid(faces, width: int = 512) -> Tuple[np.ndarray, TexMeta]
     height = width // 2
     faces = jnp.asarray(np.asarray(faces, np.float32))
     base_img = np.asarray(
-        sample_cubemap_bilinear(faces, latlong_dirs(height, width)),
+        sample_cubemap_seamless(extend_cubemap_borders(faces),
+                                latlong_dirs(height, width)),
         np.float32)
     return _pack_latlong_mips(base_img)
 

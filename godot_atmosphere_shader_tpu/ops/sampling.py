@@ -176,6 +176,32 @@ def sample_equirect_bilinear(tex: jnp.ndarray, direction: Vec3) -> Vec3:
 # -- bakes --------------------------------------------------------------------
 
 
+def _face_dirs_from_uv(uu: jnp.ndarray, vv: jnp.ndarray) -> Vec3:
+    """Face-plane (u, v) grids → unit directions for all 6 faces, stacked.
+
+    The swizzle table from ``noise_cubemap.gd:116-128``; shared by the
+    texel-center grid (:func:`cubemap_face_dirs`) and the border-extension
+    grid (:func:`extend_cubemap_borders`), whose (u, v) reach beyond ±1.
+    """
+    inv_len = 1.0 / jnp.sqrt(1.0 + uu * uu + vv * vv)
+    bx = inv_len  # (1, v, -u) normalized
+    by = vv * inv_len
+    bz = -uu * inv_len
+
+    dirs = [
+        (bx, by, bz),  # +X
+        (-bx, by, -bz),  # -X
+        (-bz, bx, -by),  # +Y
+        (-bz, -bx, by),  # -Y
+        (-bz, by, bx),  # +Z
+        (bz, by, -bx),  # -Z
+    ]
+    dx = jnp.stack([d[0] for d in dirs])
+    dy = jnp.stack([d[1] for d in dirs])
+    dz = jnp.stack([d[2] for d in dirs])
+    return Vec3(dx, dy, dz)
+
+
 def cubemap_face_dirs(resolution: int):
     """Per-texel unit directions for all 6 faces, ``(6, res, res)`` components.
 
@@ -189,25 +215,75 @@ def cubemap_face_dirs(resolution: int):
     v = (resolution - ys - 1.0 + 0.5) / half - 1.0  # pos2d.y
     uu = jnp.broadcast_to(u[None, :], (resolution, resolution))
     vv = jnp.broadcast_to(v[:, None], (resolution, resolution))
+    return _face_dirs_from_uv(uu, vv)
 
-    inv_len = 1.0 / jnp.sqrt(1.0 + uu * uu + vv * vv)
-    bx = inv_len  # (1, v, -u) normalized
-    by = vv * inv_len
-    bz = -uu * inv_len
 
-    # face swizzles (noise_cubemap.gd:116-128)
-    dirs = [
-        (bx, by, bz),  # +X
-        (-bx, by, -bz),  # -X
-        (-bz, bx, -by),  # +Y
-        (-bz, -bx, by),  # -Y
-        (-bz, by, bx),  # +Z
-        (bz, by, -bx),  # -Z
-    ]
-    dx = jnp.stack([d[0] for d in dirs])
-    dy = jnp.stack([d[1] for d in dirs])
-    dz = jnp.stack([d[2] for d in dirs])
-    return Vec3(dx, dy, dz)
+def extend_cubemap_borders(faces: jnp.ndarray) -> jnp.ndarray:
+    """``(6, res, res)`` → ``(6, res+2, res+2)`` with a 1-texel border
+    resampled from the adjacent faces — the bake-time half of seamless
+    cube filtering (PARITY #10; GL ``samplerCube`` blends across face
+    boundaries, ``cloud_funcs.gdshaderinc:45``).
+
+    Each border texel center lies just outside the face plane (|u| or |v|
+    slightly > 1); its cube point, renormalized, lands on the neighboring
+    face, where the ordinary per-face clamped bilinear sampler evaluates
+    it.  No adjacency/orientation tables: the direction mapping does the
+    bookkeeping, and corners fall out automatically.  Interior texels are
+    copied exactly, so away from the seam band
+    :func:`sample_cubemap_seamless` matches
+    :func:`sample_cubemap_bilinear` to 1 ulp (the +1 texel coordinate
+    offset rounds the fractional weights differently; measured max
+    1.2e-7, ``tests/test_seam.py``).
+    """
+    _, res, _ = faces.shape
+    half = 0.5 * res
+    idx = jnp.arange(-1, res + 1, dtype=jnp.float32)
+    u = (idx + 0.5) / half - 1.0
+    v = (res - idx - 1.0 + 0.5) / half - 1.0
+    uu = jnp.broadcast_to(u[None, :], (res + 2, res + 2))
+    vv = jnp.broadcast_to(v[:, None], (res + 2, res + 2))
+    d = _face_dirs_from_uv(uu, vv)
+    ext = sample_cubemap_bilinear(faces, d)
+    return ext.at[:, 1:-1, 1:-1].set(faces)
+
+
+def sample_cubemap_seamless(faces_ext: jnp.ndarray,
+                            direction: Vec3) -> jnp.ndarray:
+    """``texture(samplerCube, dir)`` with cross-face seam blending.
+
+    ``faces_ext`` is the ``(6, res+2, res+2)`` border-extended stack from
+    :func:`extend_cubemap_borders`.  Identical arithmetic to
+    :func:`sample_cubemap_bilinear` except footprints that straddle a face
+    edge read the adjacent face's values from the border ring instead of
+    clamping — the GL seamless-filtering behavior the per-face sampler
+    approximates (measured delta: ``tests/test_seam.py``).
+    """
+    _, eres, _ = faces_ext.shape
+    res = eres - 2
+    face, u, v = cubemap_face_uv(direction)
+
+    half = res * 0.5
+    px = (u + 1.0) * half - 0.5 + 1.0  # +1: border ring offset
+    py = res - 0.5 - (v + 1.0) * half + 1.0
+
+    px = jnp.clip(px, 0.0, eres - 1.0)
+    py = jnp.clip(py, 0.0, eres - 1.0)
+    x0 = jnp.floor(px).astype(jnp.int32)
+    y0 = jnp.floor(py).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, eres - 1)
+    y1 = jnp.minimum(y0 + 1, eres - 1)
+    fx = px - x0.astype(jnp.float32)
+    fy = py - y0.astype(jnp.float32)
+
+    flat = faces_ext.reshape(-1)
+    base = face * (eres * eres)
+
+    def at(yi, xi):
+        return jnp.take(flat, base + yi * eres + xi)
+
+    top = at(y0, x0) * (1.0 - fx) + at(y0, x1) * fx
+    bot = at(y1, x0) * (1.0 - fx) + at(y1, x1) * fx
+    return top * (1.0 - fy) + bot * fy
 
 
 def bake_noise_cubemap(spec: NoiseSpec, scale, resolution: int) -> jnp.ndarray:

@@ -24,7 +24,8 @@ from ..ops.atmosphere_v1 import compute_atmosphere_v1
 from ..ops.atmosphere_v2 import compute_atmosphere_v2
 from ..ops.clouds import render_clouds
 from ..ops.noise import sample_noise3
-from ..ops.sampling import sample_cubemap_bilinear, sample_trilinear_repeat
+from ..ops.sampling import (extend_cubemap_borders, sample_cubemap_bilinear,
+                            sample_cubemap_seamless, sample_trilinear_repeat)
 from ..utils.camera import Camera, rigid_inverse, world_ray_dirs
 from ..utils.vecmath import Vec3, lerp, normalize, ray_sphere
 from .jitter import jitter_plane
@@ -78,8 +79,17 @@ def make_coverage_fn(config: VariantConfig, params: AtmosphereParams):
     if faces is None:
         raise ValueError("clouds need cloud_coverage_cubemap or a procedural spec")
 
-    def coverage_fn(p: Vec3):
-        return sample_cubemap_bilinear(faces, p)
+    if config.cubemap_seamless:
+        # GL samplerCube blends across face seams (PARITY #10); extend once
+        # per frame (traced, tiny: 6·(res+2)² resamples) and sample the
+        # border-extended stack.  Interior = per-face clamp to 1 ulp.
+        faces_ext = extend_cubemap_borders(faces)
+
+        def coverage_fn(p: Vec3):
+            return sample_cubemap_seamless(faces_ext, p)
+    else:
+        def coverage_fn(p: Vec3):
+            return sample_cubemap_bilinear(faces, p)
 
     return coverage_fn
 

@@ -149,7 +149,13 @@ def _production_render(scene_d, variant, pose):
         cloud_coverage_cubemap=jnp.asarray(scene_d["tex"]["coverage_faces"]),
         colors_are_srgb=False,  # both sides get the same linear values
     )
-    config = dataclasses.replace(VARIANTS[variant], od_mode="lut")
+    # od_mode: the oracle transcribes the LUT lookup, not our analytic
+    # default.  cubemap_seamless=False: the oracle transcribes the shader
+    # TEXT, and GL's hardware cross-face seam blending isn't in the text —
+    # per-face clamp is the transcription-exact semantics (the seamless
+    # default's delta vs clamp is measured separately in tests/test_seam.py)
+    config = dataclasses.replace(VARIANTS[variant], od_mode="lut",
+                                 cubemap_seamless=False)
     cam = Camera.create(view_to_world=POSES[pose], fov_y_deg=FOV,
                         near=NEAR, far=FAR)
     jitter = np.tile(scene_d["blue"], (2, 2))[:H, :W]

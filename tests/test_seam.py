@@ -19,7 +19,9 @@ import pytest
 
 from godot_atmosphere_shader_tpu.ops.sampling import (cubemap_face_dirs,
                                                       cubemap_face_uv,
-                                                      sample_cubemap_bilinear)
+                                                      extend_cubemap_borders,
+                                                      sample_cubemap_bilinear,
+                                                      sample_cubemap_seamless)
 from godot_atmosphere_shader_tpu.utils.vecmath import Vec3
 
 RES = 64
@@ -86,6 +88,53 @@ def test_seam_delta_measured_and_bounded(faces):
     assert interior_max < 1e-3, interior_max
     assert seam_p99 < 5e-3, seam_p99
     assert seam_max < 7e-3, seam_max
+
+
+def test_seamless_sampler_closes_the_seam(faces):
+    """The r4 seamless sampler (PARITY #10 implemented): border-extending
+    the cubemap from adjacent faces drops the seam-band error to the
+    interior bilinear filter floor, matches per-face clamp to 1 ulp on
+    interior footprints, and removes the cross-edge discontinuity.
+
+    Measured at 64² faces (2026-08, this harness):
+      clamp    seam max 3.5e-3 / p99 2.3e-3, edge step-jump 2.5e-3
+      seamless seam max 4.1e-4 / p99 8.9e-5, edge step-jump 1.6e-5
+      interior |clamp − seamless| max 1.2e-7 (1 ulp of ~0.9 values)
+    """
+    import jax.numpy as jnp
+
+    d = _dirs()
+    dv = Vec3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]),
+              jnp.asarray(d[:, 2]))
+    ext = extend_cubemap_borders(jnp.asarray(faces))
+    assert ext.shape == (6, RES + 2, RES + 2)
+    # interior of the extended stack is the original texels, bit-exact
+    np.testing.assert_array_equal(np.asarray(ext)[:, 1:-1, 1:-1], faces)
+
+    got = np.asarray(sample_cubemap_seamless(ext, dv))
+    clamp = np.asarray(sample_cubemap_bilinear(jnp.asarray(faces), dv))
+    truth = field(d[:, 0], d[:, 1], d[:, 2])
+    err = np.abs(got - truth)
+    seam = _seam_mask(d)
+
+    # seam error collapses to the interior filter floor (clamp: 3.5e-3)
+    assert float(err[seam].max()) < 1e-3, err[seam].max()
+    assert float(np.percentile(err[seam], 99)) < 3e-4
+    # interior footprints: 1-ulp agreement with the per-face sampler
+    assert float(np.abs(got - clamp)[~seam].max()) < 1e-6
+
+    # continuity: tiny steps across the +X/+Z edge must not jump
+    t = np.linspace(-0.002, 0.002, 41, dtype=np.float32)
+    dirs = np.stack([1.0 + t, np.full_like(t, 0.3), 1.0 - t], axis=1)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dd = Vec3(jnp.asarray(dirs[:, 0]), jnp.asarray(dirs[:, 1]),
+              jnp.asarray(dirs[:, 2]))
+    jump_seamless = float(np.abs(np.diff(np.asarray(
+        sample_cubemap_seamless(ext, dd)))).max())
+    jump_clamp = float(np.abs(np.diff(np.asarray(
+        sample_cubemap_bilinear(jnp.asarray(faces), dd)))).max())
+    assert jump_seamless < 1e-4, jump_seamless
+    assert jump_clamp > 10 * jump_seamless  # the defect it fixes is real
 
 
 def test_latlong_regrid_seam_free(faces):

@@ -74,7 +74,7 @@ CONFIGS = [
     # gas-giant tier (r4): 64 atmosphere steps, optically-thick R/H=40
     # shell, limb pose = full-traversal chords (PROFILES['gas_giant'],
     # GAS_GIANT_STUDY.json)
-    ("7", "gas_giant 64-step limb 1080p", "gas_giant", "limb", 1080, 1920, False, False),
+    ("7", "gas_giant 64-step limb 1080p", "gas_giant", "limb", 1080, 1920, False, (8, 40)),
 ]
 
 
@@ -94,11 +94,18 @@ def _load_vpu_peak():
 
 def _mfu_fields(scene, cam, dt, h, w, peak):
     """MFU / roofline accounting (VERDICT r3 weak #3): flops per pixel from
-    XLA's cost model of the shared shading trace, achieved GFLOP/s at the
-    measured frame time, and %-of-measured-VPU-peak.  ``roofline_ms`` is
-    the arithmetic lower bound for the frame from the measured fma and
+    XLA's cost model of the shared shading trace (exact-loop accounting —
+    ``frame_cost`` unrolls the marches at reduced step counts and
+    extrapolates, because XLA's cost model counts a while body once, not
+    ×trip-count), achieved GFLOP/s at the measured frame time, and
+    %-of-measured-VPU-peak.  ``roofline_ms`` is the arithmetic lower bound
+    for the full-frame shading model from the measured fma and
     transcendental rates (transcendentals don't overlap fmas on the VPU's
-    special-function path, so the bound is additive)."""
+    special-function path, so the bound is additive).  ``kernel_roofline_ms``
+    re-scales the cloud-march term by the config's ``cloud_lod`` (the
+    megakernel marches once per lod-row group) — the floor for the work the
+    kernel actually schedules; tile culling and the texture mode's pyramid
+    sampling still make achieved work differ (documented in frame_cost)."""
     from godot_atmosphere_shader_tpu.utils.profiling import frame_cost
 
     atmos = tuple(a.build_params() for a in scene.atmospheres)
@@ -114,12 +121,64 @@ def _mfu_fields(scene, cam, dt, h, w, peak):
            "transcendentals_per_pixel": round(tpp, 1),
            "gflops": round(fpp * n / dt / 1e9, 1)}
     if peak:
-        roofline_s = (fpp * n / (peak["fma_gflops"] * 1e9)
-                      + tpp * n / (peak["exp_geps"] * 1e9))
+        def bound_s(flops_pp, transc_pp):
+            return (flops_pp * n / (peak["fma_gflops"] * 1e9)
+                    + transc_pp * n / (peak["exp_geps"] * 1e9))
+
+        roofline_s = bound_s(fpp, tpp)
         out["mfu"] = round(out["gflops"] / peak["fma_gflops"], 3)
         out["roofline_ms"] = round(roofline_s * 1e3, 2)
         out["roofline_frac"] = round(roofline_s / dt, 3)
+        br = cost.get("breakdown")
+        if br:
+            # scheduled-work floor: tile culling skips whole tiles whose
+            # rays all miss the shell (coverage factor on the march terms;
+            # the base — opaque pass, ray setup, shell intersections, and
+            # conservatively the knot evals + first counted step — runs
+            # frame-wide), and cloud_lod marches once per lod-row group
+            cov = _shell_tile_coverage(scene, cam, h, w)
+            out["shell_tile_coverage"] = round(cov, 3)
+            lod = max((c.cloud_lod for c in cfgs if c.clouds_enabled),
+                      default=1)
+            a_n, c_n = br["atmo_steps"], br["cloud_steps"]
+
+            def sched(key):
+                return (br["base"][key] + cov * (
+                    (a_n - 1) * br["atmo_step"][key]
+                    + max(c_n - 1, 0) * br["cloud_step"][key] / lod))
+
+            ks = bound_s(sched("flops"), sched("transcendentals"))
+            out["kernel_roofline_ms"] = round(ks * 1e3, 2)
+            out["kernel_roofline_frac"] = round(ks / dt, 3)
     return out
+
+
+def _shell_tile_coverage(scene, cam, h, w, block=(32, 128)):
+    """Fraction of framebuffer tiles the megakernel actually shades: tiles
+    where at least one ray hits at least one atmosphere shell (the
+    ``tile_cull`` predicate — whole tiles whose rays all miss skip the
+    integrators, render/atmosphere_pass.py).  This is the scheduling factor
+    the full-frame shading model misses for exterior/limb poses."""
+    import jax.numpy as jnp
+    from godot_atmosphere_shader_tpu.utils.camera import (
+        rigid_inverse, world_ray_dirs)
+    from godot_atmosphere_shader_tpu.utils.vecmath import Vec3, ray_sphere
+
+    rd = world_ray_dirs(cam, h, w)
+    ro = cam.position
+    hit = jnp.zeros((h, w), bool)
+    for a in scene.atmospheres:
+        p = a.build_params()
+        pc = rigid_inverse(p.world_to_model)[:3, 3]
+        center = Vec3(pc[0], pc[1], pc[2])
+        r0, r1 = ray_sphere(center, p.planet_radius + p.atmosphere_height,
+                            ro, rd)
+        hit = hit | (r0 != r1)
+    bh, bw = block
+    ph, pw = -h % bh, -w % bw
+    tiles = jnp.pad(hit, ((0, ph), (0, pw)))
+    tiles = tiles.reshape((h + ph) // bh, bh, (w + pw) // bw, bw).any((1, 3))
+    return float(tiles.mean())
 
 
 def _bench_config(variant, pose, h, w, multi, flight, peak=None):
@@ -178,8 +237,11 @@ def _bench_config(variant, pose, h, w, multi, flight, peak=None):
         # noise, so the K difference is chosen to make the signal ~tens of
         # ms.  (profile_small.py's original decomposition swept 32/96/224;
         # bench widens the far point to 352 for a cleaner slope — same
-        # methodology, wider lever arm.)
-        k0, k1 = 32, 352
+        # methodology, wider lever arm.)  1080p configs pass explicit
+        # (k0, k1): the frame stack lives in HBM (k·h·w·4 f32), so the far
+        # point must stay small — the multi-ms per-frame device time makes
+        # the slope resolvable with a short lever anyway.
+        k0, k1 = flight if isinstance(flight, tuple) else (32, 352)
         t0s, t1s = flight_total(k0, 0.0), flight_total(k1, 3.1)
         marginal = (t1s - t0s) / float(k1 - k0)
         out["flight_frame_ms"] = round(marginal * 1e3, 3)

@@ -286,6 +286,16 @@ class VariantConfig:
     # = per-face clamp, the semantics the GDShader-text oracle transcribes
     # (hardware seam blending isn't in the shader text).
     cubemap_seamless: bool = True
+    # cost-analysis instrumentation, NOT a render knob: unroll every march
+    # fori_loop at trace time so XLA's cost model counts each step (it
+    # counts a `while` body ONCE, not ×trip-count — measured, which made
+    # the r4 roofline fields undercount march work).  Lower step counts to
+    # 1-2 before lowering with this on (utils/profiling.frame_cost does);
+    # unrolling a 64-step march would explode compile time.  Unrolling is
+    # float-rounding-inert, not bitwise (XLA reassociates fma contraction
+    # across unrolled iterations; measured ≤7.5e-7) — renders always keep
+    # the default False.
+    march_unroll: bool = False
 
 
 #: The reference's shader variant files, name → config

@@ -18,8 +18,12 @@ from .density import atmosphere_density
 
 def atmo_factor_v1(ray_origin: Vec3, ray_dir: Vec3, planet_center: Vec3,
                    t_begin, t_end, sun_dir: Vec3,
-                   planet_radius, atmosphere_height, density, steps: int):
-    """``get_atmo_factor`` (:15-45): returns ``(atmo_factor, light_factor)``."""
+                   planet_radius, atmosphere_height, density, steps: int,
+                   unroll: bool = False):
+    """``get_atmo_factor`` (:15-45): returns ``(atmo_factor, light_factor)``.
+
+    ``unroll`` unrolls the march at trace time — cost-analysis use only
+    (XLA's cost model counts a ``while`` body once, not ×trip-count)."""
     import jax.lax as lax
 
     inv_steps = 1.0 / float(steps)
@@ -46,13 +50,15 @@ def atmo_factor_v1(ray_origin: Vec3, ray_dir: Vec3, planet_center: Vec3,
 
     carry = (pos0.x, pos0.y, pos0.z, jnp.ones_like(t_begin),
              jnp.zeros_like(t_begin))
-    _, _, _, factor, light_sum = lax.fori_loop(0, steps, body, carry)
+    _, _, _, factor, light_sum = lax.fori_loop(0, steps, body, carry,
+                                               unroll=bool(unroll))
 
     return 1.0 - factor, light_sum
 
 
 def compute_atmosphere_v1(ray_origin: Vec3, ray_dir: Vec3, planet_center: Vec3,
-                          t_begin, t_end, sun_dir: Vec3, params, steps: int):
+                          t_begin, t_end, sun_dir: Vec3, params, steps: int,
+                          unroll: bool = False):
     """``compute_atmosphere`` (:48-63): returns ``(rgb: Vec3, alpha)``.
 
     ``params`` needs: ``planet_radius``, ``atmosphere_height``, ``density``,
@@ -61,7 +67,8 @@ def compute_atmosphere_v1(ray_origin: Vec3, ray_dir: Vec3, planet_center: Vec3,
     """
     atmo_factor, light_factor = atmo_factor_v1(
         ray_origin, ray_dir, planet_center, t_begin, t_end, sun_dir,
-        params.planet_radius, params.atmosphere_height, params.density, steps)
+        params.planet_radius, params.atmosphere_height, params.density, steps,
+        unroll=unroll)
 
     n0, n1 = params.night_color0, params.night_color1
     d0, d1 = params.day_color0, params.day_color1

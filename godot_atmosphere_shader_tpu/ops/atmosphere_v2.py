@@ -41,7 +41,7 @@ def scattering_coefficients(params):
 def compute_atmosphere_v2(ray_origin: Vec3, ray_dir: Vec3, planet_center: Vec3,
                           t_begin, t_end, sun_dir: Vec3, jitter,
                           params, steps: int, od_mode: str = "analytic",
-                          lut=None):
+                          lut=None, unroll: bool = False):
     """``compute_atmosphere_v2`` (:32-101).  Returns ``(rgb: Vec3, alpha)``.
 
     ``params`` needs: ``planet_radius``, ``atmosphere_height``, ``density``,
@@ -88,9 +88,11 @@ def compute_atmosphere_v2(ray_origin: Vec3, ray_dir: Vec3, planet_center: Vec3,
         return pos.x, pos.y, pos.z, total_r, total_g, total_b, view_od, alpha
 
     # fori_loop traces the (quadrature-heavy) body once; step counts are
-    # static per variant so this is a counted loop, XLA-friendly.
+    # static per variant so this is a counted loop, XLA-friendly.  ``unroll``
+    # is for cost analysis only: XLA's cost model counts a while body once,
+    # not ×trip-count, so exact per-step accounting needs an unrolled trace.
     carry = (pos0.x, pos0.y, pos0.z, zero, zero, zero, zero, zero)
-    carry = jax.lax.fori_loop(0, steps, body, carry)
+    carry = jax.lax.fori_loop(0, steps, body, carry, unroll=bool(unroll))
     _, _, _, total_r, total_g, total_b, _, alpha = carry
 
     amb = params.atmosphere_ambient_color

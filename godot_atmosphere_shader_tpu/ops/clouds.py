@@ -129,7 +129,7 @@ def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
                          settings: CloudSettings, params,
                          shape_fn, coverage_fn, always_low: bool,
                          coverage_value=None, shape_value=None,
-                         detail_value=None):
+                         detail_value=None, unroll: bool = False):
     """6-step sun march (:104-151), step length ×1.2 growth, reach 0.15·layer.
 
     The reference picks full vs low density per pixel by ``alpha0 < 0.3``;
@@ -179,7 +179,8 @@ def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
         return alpha, step_len * 1.2
 
     alpha, _ = lax.fori_loop(0, steps, body,
-                             (jnp.zeros_like(alpha0), jnp.float32(1.0) * step_len0))
+                             (jnp.zeros_like(alpha0), jnp.float32(1.0) * step_len0),
+                             unroll=bool(unroll))
 
     light0 = pos0_height_ratio * 0.2
     return lerp(1.0, light0, alpha)
@@ -188,14 +189,15 @@ def get_light_raymarched(pos0: Vec3, sun_dir: Vec3, jitter, alpha0, time,
 def get_light(pos: Vec3, ray_dir: Vec3, sun_dir: Vec3, jitter, alpha, time,
               settings: CloudSettings, params, shape_fn, coverage_fn,
               raymarched: bool, always_low: bool, pos_len=None,
-              coverage_value=None, shape_value=None, detail_value=None):
+              coverage_value=None, shape_value=None, detail_value=None,
+              unroll: bool = False):
     """(:153-167): lighting model dispatch + planet shadow ×0.002."""
     if raymarched:
         light = get_light_raymarched(pos, sun_dir, jitter, alpha, time,
                                      settings, params, shape_fn, coverage_fn,
                                      always_low, coverage_value=coverage_value,
                                      shape_value=shape_value,
-                                     detail_value=detail_value)
+                                     detail_value=detail_value, unroll=unroll)
     else:
         light = get_light_cheap(pos, ray_dir, sun_dir, alpha, settings,
                                 pos_len=pos_len)
@@ -252,7 +254,7 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
                    raymarched_lighting: bool, always_low: bool,
                    coverage_interp: bool = False, coverage_endpoints=None,
                    coverage_knots: int = 8, shape_endpoints=None,
-                   detail_endpoints=None):
+                   detail_endpoints=None, unroll: bool = False):
     """``raymarch_cloud`` (:175-247).  Returns ``(total_light, alpha)``.
 
     Includes the march-distance horizon hack (:181-204): marching distance is
@@ -308,7 +310,8 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
                           settings, params, shape_fn, coverage_fn,
                           raymarched_lighting, always_low, pos_len=pos_len,
                           coverage_value=coverage_value,
-                          shape_value=shape_value, detail_value=detail_value)
+                          shape_value=shape_value, detail_value=detail_value,
+                          unroll=unroll)
         density = get_density_full(pos, time, settings, params,
                                    shape_fn, coverage_fn, False, always_low,
                                    coverage_value=coverage_value,
@@ -328,7 +331,8 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
 
     ones = jnp.ones_like(t_begin)
     prod, _, total_light = lax.fori_loop(
-        0, steps, body, (ones, ones, jnp.zeros_like(t_begin)))
+        0, steps, body, (ones, ones, jnp.zeros_like(t_begin)),
+        unroll=bool(unroll))
     return total_light, 1.0 - prod
 
 
@@ -341,7 +345,7 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
                   return_raw: bool = False, coverage_knots: int = 8,
                   coverage_lod: int = 1, normalize_layout=None,
                   shape_interp: bool = False, shape_knots: int = 16,
-                  knot_group: int = 1, knot_store=None):
+                  knot_group: int = 1, knot_store=None, unroll: bool = False):
     """``render_clouds`` (:249-324) over whole pixel planes.
 
     ``ray_origin``/``ray_dir``/``sun_dir``/``planet_center`` are **world**
@@ -500,7 +504,7 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
             coverage_endpoints=knots.get("cov"),
             coverage_knots=coverage_knots,
             shape_endpoints=knots.get("shp"),
-            detail_endpoints=knots.get("det"))
+            detail_endpoints=knots.get("det"), unroll=unroll)
         return light, a
 
     if cull:
@@ -561,7 +565,8 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
                       cull: bool = False, coverage_knots: int = 8,
                       coverage_lod: int = 1, normalize_layout=None,
                       shape_interp: bool = False, shape_knots: int = 16,
-                      knot_group: int = 1, knot_store=None):
+                      knot_group: int = 1, knot_store=None,
+                      unroll: bool = False):
     """Vertical cloud LOD: march once per ``lod``-row group, blend full-res.
 
     The TPU analog of rendering clouds into a reduced-resolution buffer
@@ -631,7 +636,7 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
         coverage_knots=coverage_knots, coverage_lod=coverage_lod,
         normalize_layout=normalize_layout, shape_interp=shape_interp,
         shape_knots=shape_knots, knot_group=knot_group,
-        knot_store=knot_store)
+        knot_store=knot_store, unroll=unroll)
 
     return apply_cloud_blend(albedo, alpha, up(light_c), up(alpha_c),
                              up(visible_c.astype(jnp.float32)) > 0.5,

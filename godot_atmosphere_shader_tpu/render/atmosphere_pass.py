@@ -130,12 +130,13 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
         if config.model == "v1":
             rgb, alpha = compute_atmosphere_v1(
                 ray_origin, ray_dir, planet_center, t_begin, t_end, sun_dir,
-                params, config.atmosphere_steps)
+                params, config.atmosphere_steps, unroll=config.march_unroll)
         else:
             rgb, alpha = compute_atmosphere_v2(
                 ray_origin, ray_dir, planet_center, t_begin, t_end, sun_dir,
                 jitter, params, config.atmosphere_steps,
-                od_mode=config.od_mode, lut=params.optical_depth_lut)
+                od_mode=config.od_mode, lut=params.optical_depth_lut,
+                unroll=config.march_unroll)
 
         if config.clouds_enabled:
             # the megakernel overrides the field closures with in-kernel
@@ -163,7 +164,8 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                     normalize_layout=normalize_layout,
                     shape_interp=config.cloud_shape_interp,
                     shape_knots=config.cloud_shape_knots,
-                    knot_group=kgroup, knot_store=knot_store)
+                    knot_group=kgroup, knot_store=knot_store,
+                    unroll=config.march_unroll)
             else:
                 rgb, alpha = render_clouds(
                     rgb, alpha, planet_center, ray_origin, ray_dir,
@@ -178,7 +180,8 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                     normalize_layout=normalize_layout,
                     shape_interp=config.cloud_shape_interp,
                     shape_knots=config.cloud_shape_knots,
-                    knot_group=kgroup, knot_store=knot_store)
+                    knot_group=kgroup, knot_store=knot_store,
+                    unroll=config.march_unroll)
         return rgb.x, rgb.y, rgb.z, alpha
 
     if config.tile_cull:

@@ -80,8 +80,22 @@ def trace(log_dir: str = "/tmp/atmo_trace"):
         jax.profiler.stop_trace()
 
 
+_COST_KEYS = ("flops", "transcendentals", "bytes accessed")
+
+
+def _lowered_cost(atmospheres, configs, camera, opaque, height, width):
+    from ..render.renderer import _render_jit
+
+    lowered = _render_jit.lower(atmospheres, configs, camera, opaque,
+                                height, width)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
+        cost = cost[0]
+    return tuple(float(cost.get(k, 0.0)) for k in _COST_KEYS)
+
+
 def frame_cost(atmospheres, configs, camera, opaque, height: int,
-               width: int) -> dict:
+               width: int, exact_loops: bool = True) -> dict:
     """Per-pixel FLOP/transcendental counts from XLA's cost analysis.
 
     The megakernel and the XLA path share one shading trace
@@ -92,6 +106,20 @@ def frame_cost(atmospheres, configs, camera, opaque, height: int,
     and scale by the pixel ratio — ``flops_per_pixel`` is
     resolution-independent.
 
+    ``exact_loops`` (default): XLA's cost model counts a ``while`` body
+    ONCE, not ×trip-count (measured: an 8-step and a 64-step march report
+    identical flops), so a single lowering systematically undercounts
+    march work.  Recover exact counts from the cost model's affine
+    structure in the step counts: lower the trace with all step counts at
+    1 and the march loops UNROLLED (``VariantConfig.march_unroll`` — tiny
+    traces, fast compiles), then once more per varied knob (atmosphere
+    steps 1→2, cloud steps 1→2) to measure the per-step cost, and
+    extrapolate ``total = base + Σ(steps−1)·per_step``.  Exact for op
+    counts because the while body is the unit of execution — each
+    iteration runs the same compiled body.  The decomposition is also
+    returned (``breakdown``) so callers can re-scale the cloud-march term
+    for schedule knobs the trace doesn't model (e.g. ``cloud_lod``).
+
     Caveats (documented, not hidden): tile culling in the Pallas path
     skips shell-missing tiles, and the in-kernel texture mode replaces
     procedural noise with pyramid sampling — both make the *achieved*
@@ -100,23 +128,75 @@ def frame_cost(atmospheres, configs, camera, opaque, height: int,
     the roofline-comparable quantity.
 
     Returns ``{"flops_per_pixel", "transcendentals_per_pixel",
-    "bytes_per_pixel", "analyzed_at"}``.
+    "bytes_per_pixel", "analyzed_at", "breakdown"}``.
     """
-    from ..render.renderer import _render_jit
-
     if not isinstance(atmospheres, tuple):
         atmospheres = tuple(atmospheres)
     if not isinstance(configs, tuple):
         configs = tuple(configs)
-    lowered = _render_jit.lower(atmospheres, configs, camera, opaque,
-                                height, width)
-    cost = lowered.compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):  # older jax returns [dict]
-        cost = cost[0]
     n = float(height * width)
+
+    if not exact_loops:
+        flops, transc, byts = _lowered_cost(atmospheres, configs, camera,
+                                            opaque, height, width)
+        return {
+            "flops_per_pixel": flops / n,
+            "transcendentals_per_pixel": transc / n,
+            "bytes_per_pixel": byts / n,
+            "analyzed_at": (height, width),
+        }
+
+    def patched(atmo_steps=None, cloud_steps=None):
+        out = []
+        for c in configs:
+            c = dataclasses.replace(c, march_unroll=True)
+            c = dataclasses.replace(c, atmosphere_steps=(
+                atmo_steps if atmo_steps is not None else 1))
+            if c.clouds_enabled:
+                c = dataclasses.replace(c, cloud_steps=(
+                    cloud_steps if cloud_steps is not None else 1))
+            out.append(c)
+        return tuple(out)
+
+    # All-layers-at-once patching measures Σ per-step costs across layers;
+    # exact when layers share step counts per knob (they do in every scene
+    # here — heterogeneous layers would need per-layer patching).
+    a_counts = {c.atmosphere_steps for c in configs}
+    c_counts = {c.cloud_steps for c in configs if c.clouds_enabled}
+    if len(a_counts) > 1 or len(c_counts) > 1:
+        raise NotImplementedError(
+            "frame_cost(exact_loops=True) assumes layers share step counts; "
+            f"got atmosphere {a_counts}, clouds {c_counts}")
+    a_steps = a_counts.pop()
+    c_steps = c_counts.pop() if c_counts else 0
+
+    base = _lowered_cost(atmospheres, patched(), camera, opaque,
+                         height, width)
+    d_atmo = tuple(
+        x - b for x, b in zip(_lowered_cost(
+            atmospheres, patched(atmo_steps=2), camera, opaque,
+            height, width), base))
+    if c_steps:
+        d_cloud = tuple(
+            x - b for x, b in zip(_lowered_cost(
+                atmospheres, patched(cloud_steps=2), camera, opaque,
+                height, width), base))
+    else:
+        d_cloud = (0.0, 0.0, 0.0)
+
+    total = tuple(b + (a_steps - 1) * da + max(c_steps - 1, 0) * dc
+                  for b, da, dc in zip(base, d_atmo, d_cloud))
+    breakdown = {
+        "base": {k: v / n for k, v in zip(_COST_KEYS, base)},
+        "atmo_step": {k: v / n for k, v in zip(_COST_KEYS, d_atmo)},
+        "cloud_step": {k: v / n for k, v in zip(_COST_KEYS, d_cloud)},
+        "atmo_steps": a_steps,
+        "cloud_steps": c_steps,
+    }
     return {
-        "flops_per_pixel": float(cost.get("flops", 0.0)) / n,
-        "transcendentals_per_pixel": float(cost.get("transcendentals", 0.0)) / n,
-        "bytes_per_pixel": float(cost.get("bytes accessed", 0.0)) / n,
+        "flops_per_pixel": total[0] / n,
+        "transcendentals_per_pixel": total[1] / n,
+        "bytes_per_pixel": total[2] / n,
         "analyzed_at": (height, width),
+        "breakdown": breakdown,
     }

@@ -5,11 +5,16 @@ sheets quote MXU flops; this workload is pure VPU f32 arithmetic, whose
 practical ceiling depends on clock, ALU issue width and transcendental
 costs — so we *measure* it with two Pallas microkernels:
 
-* ``fma``: a long elementwise ``y = y*a + b`` chain over a VMEM block.
-  Every element is an independent serial chain, so with 32k elements per
-  block the VPU pipelines across lanes and the measurement is
-  throughput-, not latency-bound.  2 flops per element-iteration.
-* ``exp``: ``y = exp(-|y|)`` chains (bounded in (0, 1]) — the per-exp
+* ``fma``: ``N_ACC`` independent ``y_i = y_i*a + b`` accumulator chains
+  over one (8, 128) vreg each.  The working set (accumulators + operands)
+  must FIT THE PHYSICAL REGISTER FILE: the first version of this tool
+  chained over a whole 512×128 VMEM block (192 live vregs), which spills
+  every op — it measured VMEM bandwidth (~2.4 "GFLOP/s-equivalent"), not
+  ALU peak, and made every bench roofline impossibly low (kernels
+  "beating" the floor 2×).  N_ACC independent chains cover the fma
+  pipeline latency while staying register-resident.  2 flops per
+  element-iteration.
+* ``exp``: ``y_i = exp(-|y_i|)`` chains (bounded in (0, 1]) — the per-exp
   cost in fma-equivalents is the ratio of the two rates.  The scattering
   march evaluates 3 exps per atmosphere step and the cloud march one per
   step plus the light terms, so the transcendental rate co-determines the
@@ -33,9 +38,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 sys.path.insert(0, ".")
 
-BH, BW = 512, 128          # elements per block: 64k f32 = 256 KiB in VMEM
-INNER = 64                 # unrolled ops per fori_loop iteration
+BH, BW = 16, 128           # two vregs per accumulator — register-resident
+N_ACC = 16                 # independent chains: covers fma pipeline latency
+INNER = 128                # chain ops per accumulator per fori_loop iter
 GRID = 16                  # sequential grid steps (amortizes pallas overhead)
+# Measured plateau sweep on v5e (GFLOP/s): n_acc/inner/bh
+#   4/16/8: 962   8/16/8: 2257   16/16/16: 3685   16/32/16: 4870
+#   16/64/16: 5271   16/128/16: 5695   24/64/16: 5484
+# — rate climbs with ILP (accumulators) and with the unroll that
+# amortizes the fori_loop carry, flattening near 5.7 TFLOP/s ≈ 2 ALU
+# slots × 1024 lanes × 2 flops × ~1.4 GHz.  The first version of this
+# tool (dependent chains over a 512×128 block) reported 2.4 TFLOP/s —
+# an artifact that made bench kernels "beat" their roofline 2×.
 
 
 def _chain_kernel(op, iters):
@@ -43,12 +57,19 @@ def _chain_kernel(op, iters):
         a = a_ref[:]
         b = b_ref[:]
 
-        def body(_, y):
+        def body(_, ys):
             for _k in range(INNER):
-                y = op(y, a, b)
-            return y
+                # N_ACC independent dependent-chains: latency overlaps
+                # across accumulators, registers never spill
+                ys = tuple(op(y, a, b) for y in ys)
+            return ys
 
-        o_ref[:] = jax.lax.fori_loop(0, iters, body, a * 0.5 + b)
+        init = tuple(a * (0.4 + 0.01 * i) + b for i in range(N_ACC))
+        ys = jax.lax.fori_loop(0, iters, body, init)
+        acc = ys[0]
+        for y in ys[1:]:
+            acc = acc + y
+        o_ref[:] = acc
 
     return kernel
 
@@ -69,7 +90,7 @@ def _run_chain(a, b, op_name, iters):
     )(a, b)
 
 
-def measure(op_name: str, iters: int = 2000, repeats: int = 5) -> dict:
+def measure(op_name: str, iters: int = 4000, repeats: int = 5) -> dict:
     """Ops/s for the chain kernel (min-of-repeats wall time)."""
     rng = np.random.default_rng(3)
     a = jnp.asarray(rng.random((BH, BW), np.float32) * 0.5 + 0.25)
@@ -82,7 +103,7 @@ def measure(op_name: str, iters: int = 2000, repeats: int = 5) -> dict:
         out = _run_chain(a, b, op_name, iters)
         _ = np.asarray(out[0, 0])
         best = min(best, time.perf_counter() - t0)
-    n_ops = BH * BW * INNER * iters * GRID
+    n_ops = BH * BW * N_ACC * INNER * iters * GRID
     return {"op": op_name, "seconds": best, "ops_per_s": n_ops / best}
 
 
@@ -95,8 +116,10 @@ def main() -> int:
               file=sys.stderr)
         return 2
 
-    fma = measure("fma")
-    exp = measure("exp")
+    # fma runs long (20k iters) so fixed dispatch overhead is <1% of the
+    # measurement; exp is ~1.7× slower per op, so 4k keeps runtime similar
+    fma = measure("fma", iters=20000)
+    exp = measure("exp", iters=4000)
     result = {
         "device": str(jax.devices()[0]),
         # an fma is 2 flops; the chain issues one fma per element-iteration
@@ -104,8 +127,10 @@ def main() -> int:
         "exp_geps": round(exp["ops_per_s"] / 1e9, 2),
         "exp_cost_in_fmas": round(fma["ops_per_s"] / exp["ops_per_s"], 1),
         "block": [BH, BW],
-        "method": ("elementwise dependent chains over a VMEM block; "
-                   "min-of-%d wall time; fma=2 flops" % 5),
+        "n_acc": N_ACC,
+        "method": ("%d independent register-resident accumulator chains "
+                   "over (%d,%d) vregs; min-of-%d wall time; fma=2 flops"
+                   % (N_ACC, BH, BW, 5)),
     }
     print(json.dumps(result, indent=1))
     with open(args.output, "w") as f:

@@ -109,7 +109,9 @@ def _mfu_fields(scene, cam, dt, h, w, peak):
     from godot_atmosphere_shader_tpu.utils.profiling import frame_cost
 
     atmos = tuple(a.build_params() for a in scene.atmospheres)
-    cfgs = tuple(a.config for a in scene.atmospheres)
+    # effective_config: config 4's interior pose engages cloud_lod_interior
+    # on the timed Scene path, so the cost model must describe that kernel
+    cfgs = tuple(a.effective_config() for a in scene.atmospheres)
     try:
         cost = frame_cost(atmos, cfgs, cam, scene.opaque, *COST_RES)
     except Exception as e:  # cost model unavailable — report why, not zeros

@@ -95,6 +95,9 @@ def demo_variant(name: str = "clouds", procedural: bool = True,
             cloud_coverage_knots=8,
             cloud_coverage_lod=2,
             cloud_lod=2,
+            # in-shell poses raise the vertical LOD to 4 (measured bounds
+            # in VariantConfig.cloud_lod_interior's docstring)
+            cloud_lod_interior=4,
             # dynamic 2-knot VMEM indexing instead of the K+1-term hat sum
             # (ROADMAP #13): measured 237.8 → 255.7 Mrays/s on the texture
             # flagship (the march interpolates cov+shape+detail knots);
@@ -119,6 +122,12 @@ def demo_variant(name: str = "clouds", procedural: bool = True,
         cloud_coverage_knots=8,
         cloud_coverage_lod=2,
         cloud_lod=2,
+        # camera inside the shell → vertical LOD 4: measured 1080p interior
+        # 13.10 → 10.55 ms (158 → 197 Mrays/s) at mean |Δ| 0.0012 vs the
+        # full-res march (the shipped lod-2 default measures 0.00087); the
+        # 1.1-hysteresis engage/release logic lives in
+        # PlanetAtmosphere.update / effective_config
+        cloud_lod_interior=4,
         # measured 196.0 → 199.2 Mrays/s procedural (coverage knots only);
         # see ROADMAP #13 / tests/test_knot_dynamic.py
         knot_dynamic=True,

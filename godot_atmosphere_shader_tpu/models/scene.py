@@ -130,6 +130,7 @@ class PlanetAtmosphere(Node3D):
         self.mode = MODE_FAR
         self.atmo_clip_distance = 0.0
         self.extra_cull_margin = planet_radius + atmosphere_height
+        self._interior_lod_active = False
         if custom_shader is not None:
             self.set_custom_shader(custom_shader)
         for k, v in shader_params.items():
@@ -278,6 +279,16 @@ class PlanetAtmosphere(Node3D):
         is_near = d < self.atmo_clip_distance
         self.mode = MODE_NEAR if (is_near or self.force_fullscreen) else MODE_FAR
 
+        # interior cloud-LOD policy (VariantConfig.cloud_lod_interior):
+        # engage inside the shell, release at 1.1·(R+H) — the reference's
+        # near/far hysteresis ratio, so the kernel swap can't flip-flop at
+        # the boundary (each mode is its own compiled kernel)
+        shell = self.planet_radius + self.atmosphere_height
+        if self._interior_lod_active:
+            self._interior_lod_active = d < shell * SWITCH_MARGIN_RATIO
+        else:
+            self._interior_lod_active = d < shell
+
         if self.sun is not None:
             sun_pos = np.asarray(self.sun.position)
             self._sun_position_host = sun_pos
@@ -317,6 +328,21 @@ class PlanetAtmosphere(Node3D):
     @property
     def config(self) -> VariantConfig:
         return self._config
+
+    def effective_config(self) -> VariantConfig:
+        """The config the renderer compiles THIS frame: the user config
+        with the camera-conditional interior cloud LOD applied
+        (``cloud_lod_interior`` — the cost-scaling analog of the
+        reference's near/far mesh swap, ``planet_atmosphere.gd:261-282``).
+        ``config`` stays the user's setting; only ``Scene._sorted_layers``
+        consumes this, so user round-trips through
+        ``set_custom_shader(replace(a.config, ...))`` never bake the
+        policy in."""
+        c = self._config
+        if (c.cloud_lod_interior and c.clouds_enabled
+                and self._interior_lod_active):
+            return dataclasses.replace(c, cloud_lod=c.cloud_lod_interior)
+        return c
 
 
 class Scene:
@@ -524,7 +550,7 @@ class Scene:
         order = sorted(self.atmospheres,
                        key=lambda a: -float(np.linalg.norm(a.position - cam_pos)))
         return (order, tuple(a.build_params() for a in order),
-                tuple(a.config for a in order))
+                tuple(a.effective_config() for a in order))
 
     @staticmethod
     def _pallas_eligible(configs) -> bool:

@@ -73,8 +73,11 @@ def check_variant(variant: str, pose: str, h: int, w: int) -> dict:
     ref_alpha = np.asarray(ref["alpha"])
 
     atmo = scene.atmospheres[0]
-    out = render_frame_pallas(atmo.build_params(), atmo.config, cam,
-                              scene.opaque, h, w)
+    # effective_config: the interior poses engage the camera-conditional
+    # cloud LOD (VariantConfig.cloud_lod_interior) on the Scene path above;
+    # the direct Pallas call must compile the same per-frame config
+    out = render_frame_pallas(atmo.build_params(), atmo.effective_config(),
+                              cam, scene.opaque, h, w)
     got_color = np.asarray(out["color"])
     got_alpha = np.asarray(out["alpha"])
 

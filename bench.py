@@ -1,8 +1,14 @@
 """Benchmark harness: the five BASELINE.json configs + flagship headline.
 
-Prints ONE JSON line:
+Prints the FULL matrix (all configs + roofline accounting) as an early
+stdout line and writes it to ``BENCH_FULL.json``; the LAST stdout line is a
+COMPACT headline JSON object (≤ ~1500 chars):
   {"metric": ..., "value": N, "unit": "Mrays/s", "vs_baseline": N,
-   "configs": {...all five BASELINE configs...}, ...}
+   "frame_ms": N, "lut_bake_ms": N, "configs": {per-config frame_ms/mrays}}
+The driver's artifact capture keeps the tail of stdout, so the headline
+fields must live in the final, short line (VERDICT r4 weak #1: the r4
+artifact lost its ``value`` field because the single giant line outgrew
+the 2000-char tail window).
 
 Baseline: >120 Mrays/s at 1920×1080 (BASELINE.md) — the reference demo scene
 at 60 fps equivalent.  Also reports the optical-depth LUT bake latency (the
@@ -65,12 +71,17 @@ CONFIGS = [
     # (num, label, variant, pose, h, w, multi-planet, also-bench-flight-mode)
     ("1", "v1 no-clouds 256x256 exterior", "v1_no_clouds", "exterior", 256, 256, False, True),
     ("2", "v2 scattering no-clouds 512x512", "no_clouds", "exterior", 512, 512, False, True),
-    ("3", "scattering+clouds 1080p", "clouds", "avatar", 1080, 1920, False, False),
-    ("4", "clouds_high interior 1080p", "clouds_high", "interior", 1080, 1920, False, False),
-    ("5", "clouds_high_rm multi-planet 1080p", "clouds_high_rm", "space", 1080, 1920, True, False),
+    # 1080p rows carry flight K-sweeps too (VERDICT r4 next #2): the
+    # interactive dispatch constant (~1.9-2.6 ms send) is 25-35% of a
+    # 7-10 ms frame, so the device marginal is the number an engine
+    # integration would see.  Short lever (8, 40): the multi-ms per-frame
+    # device time resolves against tunnel noise without a huge HBM stack.
+    ("3", "scattering+clouds 1080p", "clouds", "avatar", 1080, 1920, False, (8, 40)),
+    ("4", "clouds_high interior 1080p", "clouds_high", "interior", 1080, 1920, False, (8, 40)),
+    ("5", "clouds_high_rm multi-planet 1080p", "clouds_high_rm", "space", 1080, 1920, True, (8, 40)),
     # in-kernel texture mode (r2): baked 64^3 shape + 256^2 coverage riding
     # the megakernel as VMEM mip pyramids (PARITY #12)
-    ("6", "clouds_high 1080p baked textures", "clouds_high:tex", "avatar", 1080, 1920, False, False),
+    ("6", "clouds_high 1080p baked textures", "clouds_high:tex", "avatar", 1080, 1920, False, (8, 40)),
     # gas-giant tier (r4): 64 atmosphere steps, optically-thick R/H=40
     # shell, limb pose = full-traversal chords (PROFILES['gas_giant'],
     # GAS_GIANT_STUDY.json)
@@ -84,12 +95,25 @@ COST_RES = (128, 256)
 
 
 def _load_vpu_peak():
-    """Measured roofline ceilings from tools/vpu_peak.py (None if not run)."""
+    """Measured roofline ceilings from tools/vpu_peak.py (None if not run).
+
+    The file records the device it was measured on; a stale or copied file
+    from a different chip would silently skew every MFU/roofline field, so
+    a device mismatch drops the peak (ADVICE r4) — bench then omits the
+    roofline fields rather than publishing wrong ones."""
     import os
     if not os.path.exists("VPU_PEAK.json"):
         return None
     with open("VPU_PEAK.json") as f:
-        return json.load(f)
+        peak = json.load(f)
+    dev = str(jax.devices()[0])
+    if peak.get("device") != dev:
+        print(json.dumps({"vpu_peak_skipped":
+                          f"measured on {peak.get('device')!r}, "
+                          f"running on {dev!r} — rerun tools/vpu_peak.py"}),
+              file=sys.stderr)
+        return None
+    return peak
 
 
 def _mfu_fields(scene, cam, dt, h, w, peak):
@@ -207,6 +231,13 @@ def _bench_config(variant, pose, h, w, multi, flight, peak=None):
     out = {"frame_ms": round(dt * 1e3, 2),
            "mrays_per_s": round(h * w / dt / 1e6, 2),
            "spread": round(spread, 2)}
+    # the LOD policy the timed kernel actually engaged (VERDICT r4 weak #3:
+    # a frame-time jump from a camera-conditional LOD swap must be readable
+    # as a priced quality trade in the artifact, not an optimization)
+    lods = [a.effective_config().cloud_lod for a in scene.atmospheres
+            if a.config.clouds_enabled]
+    if lods:
+        out["effective_cloud_lod"] = max(lods)
     if procedural:
         # MFU only where the timed path and the cost model share the trace:
         # the texture mode samples VMEM pyramids instead of procedural
@@ -317,7 +348,7 @@ def main() -> None:
             else "xla" if dt == dt_xla else "pallas")
     mrays = h * w / dt / 1e6
 
-    print(json.dumps({
+    full = {
         "metric": "demo scene scattering+clouds_high raymarch at 1080p",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
@@ -333,7 +364,31 @@ def main() -> None:
         "configs": configs,
         "vpu_peak": _load_vpu_peak(),
         "device": str(jax.devices()[0]),
-    }))
+    }
+    # full matrix: file + early stdout line (for humans / tooling)
+    with open("BENCH_FULL.json", "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(full))
+
+    # compact headline LAST (the driver's tail capture keeps the end of
+    # stdout): headline fields + per-config frame_ms / Mrays only
+    compact_configs = {}
+    for num, r in configs.items():
+        row = {"frame_ms": r["frame_ms"], "mrays_per_s": r["mrays_per_s"]}
+        for k in ("flight_frame_ms", "flight_mrays_per_s",
+                  "effective_cloud_lod"):
+            if k in r:
+                row[k] = r[k]
+        compact_configs[num] = row
+    compact = {k: full[k] for k in (
+        "metric", "value", "unit", "vs_baseline", "frame_ms", "path",
+        "lut_bake_ms")}
+    compact["configs"] = compact_configs
+    compact["full_matrix"] = "BENCH_FULL.json"
+    line = json.dumps(compact)
+    assert len(line) <= 1800, f"headline line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -683,6 +683,14 @@ class Scene:
         rows with its neighbors per frame over ICI
         (``parallel/sharding.py::render_flight_taa_sharded``).
         """
+        if mesh is not None and taa_blend is None:
+            # the only sharded flight is the TAA one (render_flight_taa_sharded);
+            # silently dropping to a single-device render would misreport a
+            # multi-chip request (ADVICE r4)
+            raise ValueError(
+                "mesh is only honored with taa_blend (the sharded TAA "
+                "flight); for a sharded non-TAA frame use "
+                "parallel.sharding.render_scene_pallas_sharded per frame")
         times = np.asarray(times, np.float32)
         cam_pos, cam_near = self._cam_info(camera)  # ONE device fetch
         order, params, configs = self._sorted_layers(camera)

@@ -58,7 +58,7 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
                 hr_ref, hg_ref, hb_ref, hd_ref,
                 or_ref, og_ref, ob_ref,
                 wr, wg, wb, wd, sems, *, height, width, bh, bw,
-                win_rows, win_cols, clamp_mode, hist_rows):
+                win_rows, win_cols, clamp_mode, hist_rows, h_local):
     aspect = width / height
 
     # ---- current-frame ray math (megakernel conventions) ----
@@ -87,8 +87,12 @@ def _taa_kernel(scal_ref, cr_ref, cg_ref, cb_ref, ld_ref,
     dirz = r[6] * dv.x + r[7] * dv.y + r[8] * dv.z
     cam = [scal_ref[0, 25 + i] for i in range(3)]
     # partial edge tiles: rows/cols beyond the image are uninitialized —
-    # they must not poison the window-base reductions or the clamp rolls
-    pad_ok = jnp.logical_and(iy < height, ix < width)
+    # they must not poison the window-base reductions or the clamp rolls.
+    # The row bound is the LOCAL band extent (iy − row0 < h_local), not the
+    # global frame height: an interior shard's pad rows sit below its band
+    # but still inside the frame, so a global check would admit them
+    # (ADVICE r4).  Single-chip, row0 == 0 and h_local == height — identical.
+    pad_ok = jnp.logical_and(iy - row0f < h_local, ix < width)
     # sky pixels carry the opaque pass's 3e38 sentinel; at 1e7 the
     # reprojection is already rotation-only to f32 precision, and anything
     # bigger overflows the world->view multiply-adds into NaN
@@ -334,7 +338,7 @@ def taa_resolve(cur_color, linear_depth, history, cam_prev: Camera,
     kern = functools.partial(_taa_kernel, height=height, width=width,
                              bh=bh, bw=bw, win_rows=win_rows,
                              win_cols=win_cols, clamp_mode=clamp_mode,
-                             hist_rows=hist_rows)
+                             hist_rows=hist_rows, h_local=h_local)
     ld_clamped = jnp.minimum(linear_depth, 1.0e7)
     if history_depth is None:
         history_depth = ld_clamped

@@ -20,8 +20,10 @@ costs — so we *measure* it with two Pallas microkernels:
   step plus the light terms, so the transcendental rate co-determines the
   roofline for this renderer.
 
-Writes ``VPU_PEAK.json`` {fma_gflops, exp_geps, ...}; ``bench.py`` reads it
-(and falls back to remeasuring if absent).  Run on the real chip.
+Writes ``VPU_PEAK.json`` {fma_gflops, exp_geps, device, ...}; ``bench.py``
+reads it and OMITS the MFU/roofline fields when the file is absent or its
+``device`` doesn't match the running chip (it does not remeasure — peak
+measurement deserves a quiet chip, not a bench run).  Run on the real chip.
 """
 
 import argparse

@@ -843,6 +843,11 @@ VARIANT_DEFINES = {
                        "ATMOSPHERE_RAYMARCH_STEPS": 16,
                        "CLOUDS_ENABLED": True,
                        "CLOUDS_MAX_RAYMARCH_STEPS": 64},
+    # the reference ships no gas-giant shader file but prescribes the
+    # define in-source: "8 works for rocky planets; gas giants need
+    # something like 64" (atmosphere_funcs_v2.gdshaderinc:42-43) — this is
+    # that prescribed matrix (v2, no clouds)
+    "gas_giant": {"ATMOSPHERE_RAYMARCH_STEPS": 64},
 }
 
 

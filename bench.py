@@ -25,8 +25,16 @@ visible in the artifact instead of silently distorting it.
 """
 
 import json
+import os
 import sys
 import time
+
+# expose the CPU platform alongside the TPU: the roofline cost model lowers
+# the shading trace on CPU (the TPU pipeline duplicates flops into consumer
+# fusions the Mosaic kernel doesn't pay — utils/profiling._cost_device)
+_plat = os.environ.get("JAX_PLATFORMS", "")
+if _plat and "cpu" not in _plat.split(","):
+    os.environ["JAX_PLATFORMS"] = _plat + ",cpu"
 
 import jax
 import numpy as np
@@ -116,20 +124,29 @@ def _load_vpu_peak():
     return peak
 
 
-def _mfu_fields(scene, cam, dt, h, w, peak):
-    """MFU / roofline accounting (VERDICT r3 weak #3): flops per pixel from
-    XLA's cost model of the shared shading trace (exact-loop accounting —
-    ``frame_cost`` unrolls the marches at reduced step counts and
-    extrapolates, because XLA's cost model counts a while body once, not
-    ×trip-count), achieved GFLOP/s at the measured frame time, and
-    %-of-measured-VPU-peak.  ``roofline_ms`` is the arithmetic lower bound
-    for the full-frame shading model from the measured fma and
-    transcendental rates (transcendentals don't overlap fmas on the VPU's
-    special-function path, so the bound is additive).  ``kernel_roofline_ms``
-    re-scales the cloud-march term by the config's ``cloud_lod`` (the
-    megakernel marches once per lod-row group) — the floor for the work the
-    kernel actually schedules; tile culling and the texture mode's pyramid
-    sampling still make achieved work differ (documented in frame_cost)."""
+def _mfu_fields(scene, cam, dt, h, w, peak, device_dt=None):
+    """Roofline accounting (VERDICT r3 weak #3, rebuilt r5 per r4 next #3):
+    flops per pixel from XLA's cost model of the shared shading trace —
+    exact-loop (``frame_cost`` unrolls the marches at reduced step counts
+    and extrapolates, because XLA's cost model counts a while body once),
+    knot-faithful (the trace executes ``knot_dynamic`` interpolation as the
+    kernel does), and CPU-lowered (the TPU pipeline duplicates flops into
+    consumer fusions the Mosaic kernel doesn't pay).
+
+    Fields:
+    * ``model_flop_ratio`` — full-frame shading-model FLOP throughput over
+      the fma peak.  EXCEEDS 1 by design where tile culling / cloud LOD
+      skip modeled work (renamed from the r4 "mfu", which read as nonsense
+      above 1.0).
+    * ``mfu`` — executed-work fma utilization ≤ 1: the SCHEDULED flops
+      (coverage-culled, LOD-scaled — what the kernel actually runs) over
+      the measured time × fma peak.
+    * ``roofline_ms`` / ``kernel_roofline_ms`` — additive fma+transcendental
+      lower bounds for the full-frame model and the scheduled work
+      (transcendentals don't overlap fmas on the VPU's special-function
+      path).  ``*_frac`` divides by the interactive frame time;
+      ``*_frac_device`` by the flight-marginal device time when measured
+      (the honest denominator — no dispatch constant)."""
     from godot_atmosphere_shader_tpu.utils.profiling import frame_cost
 
     atmos = tuple(a.build_params() for a in scene.atmospheres)
@@ -145,14 +162,16 @@ def _mfu_fields(scene, cam, dt, h, w, peak):
     n = h * w
     out = {"flops_per_pixel": round(fpp, 1),
            "transcendentals_per_pixel": round(tpp, 1),
-           "gflops": round(fpp * n / dt / 1e9, 1)}
+           "gflops": round(fpp * n / dt / 1e9, 1),
+           "cost_platform": cost.get("cost_platform")}
     if peak:
         def bound_s(flops_pp, transc_pp):
             return (flops_pp * n / (peak["fma_gflops"] * 1e9)
                     + transc_pp * n / (peak["exp_geps"] * 1e9))
 
         roofline_s = bound_s(fpp, tpp)
-        out["mfu"] = round(out["gflops"] / peak["fma_gflops"], 3)
+        out["model_flop_ratio"] = round(out["gflops"] / peak["fma_gflops"],
+                                        3)
         out["roofline_ms"] = round(roofline_s * 1e3, 2)
         out["roofline_frac"] = round(roofline_s / dt, 3)
         br = cost.get("breakdown")
@@ -176,6 +195,16 @@ def _mfu_fields(scene, cam, dt, h, w, peak):
             ks = bound_s(sched("flops"), sched("transcendentals"))
             out["kernel_roofline_ms"] = round(ks * 1e3, 2)
             out["kernel_roofline_frac"] = round(ks / dt, 3)
+            # executed-work MFU: scheduled fma flops over measured time ×
+            # peak — ≤ 1 whenever the inventory is faithful (the additive
+            # transcendental time keeps it strictly below the frac)
+            out["mfu"] = round(
+                sched("flops") * n / dt / 1e9 / peak["fma_gflops"], 3)
+            if device_dt:
+                out["kernel_roofline_frac_device"] = round(ks / device_dt, 3)
+                out["mfu_device"] = round(
+                    sched("flops") * n / device_dt / 1e9
+                    / peak["fma_gflops"], 3)
     return out
 
 
@@ -238,11 +267,6 @@ def _bench_config(variant, pose, h, w, multi, flight, peak=None):
             if a.config.clouds_enabled]
     if lods:
         out["effective_cloud_lod"] = max(lods)
-    if procedural:
-        # MFU only where the timed path and the cost model share the trace:
-        # the texture mode samples VMEM pyramids instead of procedural
-        # noise, so the XLA cost model does not describe its work
-        out.update(_mfu_fields(scene, cam, dt, h, w, peak))
     if flight:
         # small frames are dispatch-overhead-bound interactively; the
         # in-graph frame loop (Scene.render_flight) measures true device
@@ -284,6 +308,16 @@ def _bench_config(variant, pose, h, w, multi, flight, peak=None):
         out["flight_fixed_ms"] = round(max(0.0, t0s - k0 * marginal) * 1e3, 2)
         out["flight_totals_ms"] = {str(k0): round(t0s * 1e3, 2),
                                    str(k1): round(t1s * 1e3, 2)}
+    if procedural:
+        # roofline only where the timed path and the cost model share the
+        # trace: the texture mode samples VMEM pyramids instead of
+        # procedural noise, so the XLA cost model does not describe its
+        # work.  The flight marginal (when measured) is the device-time
+        # denominator for the *_device fracs.
+        dev_dt = out.get("flight_frame_ms")
+        out.update(_mfu_fields(scene, cam, dt, h, w, peak,
+                               device_dt=None if dev_dt is None
+                               else dev_dt / 1e3))
     return out
 
 

@@ -244,10 +244,14 @@ class VariantConfig:
     # ~40 windowed lookups per pixel); procedural fields may opt in.
     cloud_shape_interp: bool = False
     cloud_shape_knots: int = 16
-    # megakernel-only: evaluate the knot interpolation by dynamically
-    # indexing the two live knots out of a VMEM knot stack (2 loads + 2
-    # scalar-weight fmas per field per step) instead of the branch-free
-    # K+1-term hat sum (K+1 plane fmas).  Only two hat weights are ever
+    # evaluate the knot interpolation by dynamically indexing the two live
+    # knots (2 loads + 2 scalar-weight fmas per field per step) instead of
+    # the branch-free K+1-term hat sum (K+1 plane fmas).  In the megakernel
+    # the knots live in a VMEM stack scratch; on the XLA path (since r5)
+    # the same semantics via ``lax.dynamic_index_in_dim`` over the stacked
+    # planes — which also makes the XLA trace's cost model a faithful
+    # inventory of the kernel's executed interpolation work
+    # (``utils/profiling.frame_cost``).  Only two hat weights are ever
     # nonzero and the step phase is a per-step *scalar*, so the result
     # matches the hat sum to float rounding (measured ≤7e-7 at demo scale;
     # fma-contraction order is the only difference — the dropped hat terms

@@ -666,7 +666,7 @@ class Scene:
                       taa_depth_eps: float = 0.2,
                       taa_clamp: str = "minmax",
                       taa_clamp_gamma: float = 1.25,
-                      mesh=None, taa_halo: int = 32):
+                      mesh=None, taa_halo="auto"):
         """Render K frames in ONE device dispatch (in-graph ``lax.map``).
 
         The animation/flight-path fast mode: per-frame host dispatch
@@ -682,6 +682,10 @@ class Scene:
         in the design; each shard exchanges ``taa_halo`` boundary history
         rows with its neighbors per frame over ICI
         (``parallel/sharding.py::render_flight_taa_sharded``).
+        ``taa_halo="auto"`` (default) sizes the halo from the flight's
+        actual camera motion and scene depth; an explicit int is validated
+        against the same bound and warns (``TaaHaloWarning``) when the
+        motion exceeds it.
         """
         if mesh is not None and taa_blend is None:
             # the only sharded flight is the TAA one (render_flight_taa_sharded);

@@ -235,17 +235,39 @@ def _hat_interp(knots, u_scaled):
     return out
 
 
-def _interp_field(endpoints, u01):
+def _interp_field(endpoints, u01, dynamic: bool = False):
     """Interpolate a knot field at step phase ``u01`` ∈ [0, 1].
 
-    ``endpoints`` is either a tuple of knot planes (hat sum — the XLA path)
-    or a callable accessor built by the megakernel's ``knot_store`` that
+    ``endpoints`` is either a tuple of knot planes (the XLA path) or a
+    callable accessor built by the megakernel's ``knot_store`` that
     dynamically indexes the two live knots out of a VMEM stack (only two hat
     weights are ever nonzero; agrees to float rounding, ~K/2× fewer plane
-    ops)."""
+    ops).
+
+    ``dynamic`` applies the same two-live-knot evaluation to the tuple
+    form via ``lax.dynamic_index_in_dim`` over the stacked planes — the
+    XLA twin of the kernel's knot stack (``VariantConfig.knot_dynamic``).
+    Equal to the hat sum up to fma-contraction order: the dropped hat
+    terms are exact ``+ 0.0`` (tests/test_knot_dynamic.py).  It also makes
+    the XLA trace's COST a faithful inventory of the kernel's executed
+    interpolation work — 2 loads + one lerp per field per step instead of
+    K+1 plane fmas — which the roofline accounting lowers
+    (``utils/profiling.frame_cost``, VERDICT r4 next #3)."""
     if callable(endpoints):
         return endpoints(u01)
-    return _hat_interp(endpoints, u01 * float(len(endpoints) - 1))
+    n = len(endpoints) - 1
+    if dynamic and n >= 2:
+        import jax.lax as lax
+
+        us = u01 * float(n)
+        i0 = jnp.clip(jnp.floor(us), 0.0, float(n - 1))
+        f = us - i0
+        stack = jnp.stack(endpoints)
+        i0i = i0.astype(jnp.int32)
+        k0 = lax.dynamic_index_in_dim(stack, i0i, keepdims=False)
+        k1 = lax.dynamic_index_in_dim(stack, i0i + 1, keepdims=False)
+        return k0 * (1.0 - f) + k1 * f
+    return _hat_interp(endpoints, u01 * float(n))
 
 
 def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
@@ -254,7 +276,8 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
                    raymarched_lighting: bool, always_low: bool,
                    coverage_interp: bool = False, coverage_endpoints=None,
                    coverage_knots: int = 8, shape_endpoints=None,
-                   detail_endpoints=None, unroll: bool = False):
+                   detail_endpoints=None, unroll: bool = False,
+                   knot_dynamic: bool = False):
     """``raymarch_cloud`` (:175-247).  Returns ``(total_light, alpha)``.
 
     Includes the march-distance horizon hack (:181-204): marching distance is
@@ -301,11 +324,13 @@ def raymarch_cloud(ray_origin: Vec3, ray_dir: Vec3, t_begin, t_end, jitter,
         u01 = (fi + 0.5) * inv_steps_f  # step phase along the march
         coverage_value = None
         if coverage_interp:
-            coverage_value = _interp_field(knots, u01)
+            coverage_value = _interp_field(knots, u01, dynamic=knot_dynamic)
         shape_value = (None if shape_endpoints is None else
-                       _interp_field(shape_endpoints, u01))
+                       _interp_field(shape_endpoints, u01,
+                                     dynamic=knot_dynamic))
         detail_value = (None if detail_endpoints is None else
-                        _interp_field(detail_endpoints, u01))
+                        _interp_field(detail_endpoints, u01,
+                                      dynamic=knot_dynamic))
         light = get_light(pos, ray_dir, sun_dir, jitter, alpha, time,
                           settings, params, shape_fn, coverage_fn,
                           raymarched_lighting, always_low, pos_len=pos_len,
@@ -345,7 +370,8 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
                   return_raw: bool = False, coverage_knots: int = 8,
                   coverage_lod: int = 1, normalize_layout=None,
                   shape_interp: bool = False, shape_knots: int = 16,
-                  knot_group: int = 1, knot_store=None, unroll: bool = False):
+                  knot_group: int = 1, knot_store=None, unroll: bool = False,
+                  knot_dynamic: bool = False):
     """``render_clouds`` (:249-324) over whole pixel planes.
 
     ``ray_origin``/``ray_dir``/``sun_dir``/``planet_center`` are **world**
@@ -504,7 +530,8 @@ def render_clouds(albedo: Vec3, alpha, planet_center: Vec3,
             coverage_endpoints=knots.get("cov"),
             coverage_knots=coverage_knots,
             shape_endpoints=knots.get("shp"),
-            detail_endpoints=knots.get("det"), unroll=unroll)
+            detail_endpoints=knots.get("det"), unroll=unroll,
+            knot_dynamic=knot_dynamic and knot_store is None)
         return light, a
 
     if cull:
@@ -566,7 +593,7 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
                       coverage_lod: int = 1, normalize_layout=None,
                       shape_interp: bool = False, shape_knots: int = 16,
                       knot_group: int = 1, knot_store=None,
-                      unroll: bool = False):
+                      unroll: bool = False, knot_dynamic: bool = False):
     """Vertical cloud LOD: march once per ``lod``-row group, blend full-res.
 
     The TPU analog of rendering clouds into a reduced-resolution buffer
@@ -636,7 +663,7 @@ def render_clouds_lod(albedo: Vec3, alpha, planet_center: Vec3,
         coverage_knots=coverage_knots, coverage_lod=coverage_lod,
         normalize_layout=normalize_layout, shape_interp=shape_interp,
         shape_knots=shape_knots, knot_group=knot_group,
-        knot_store=knot_store, unroll=unroll)
+        knot_store=knot_store, unroll=unroll, knot_dynamic=knot_dynamic)
 
     return apply_cloud_blend(albedo, alpha, up(light_c), up(alpha_c),
                              up(visible_c.astype(jnp.float32)) > 0.5,

@@ -165,7 +165,8 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                     shape_interp=config.cloud_shape_interp,
                     shape_knots=config.cloud_shape_knots,
                     knot_group=kgroup, knot_store=knot_store,
-                    unroll=config.march_unroll)
+                    unroll=config.march_unroll,
+                    knot_dynamic=config.knot_dynamic)
             else:
                 rgb, alpha = render_clouds(
                     rgb, alpha, planet_center, ray_origin, ray_dir,
@@ -181,7 +182,8 @@ def shade_atmosphere(params: AtmosphereParams, config: VariantConfig,
                     shape_interp=config.cloud_shape_interp,
                     shape_knots=config.cloud_shape_knots,
                     knot_group=kgroup, knot_store=knot_store,
-                    unroll=config.march_unroll)
+                    unroll=config.march_unroll,
+                    knot_dynamic=config.knot_dynamic)
         return rgb.x, rgb.y, rgb.z, alpha
 
     if config.tile_cull:

@@ -83,19 +83,45 @@ def trace(log_dir: str = "/tmp/atmo_trace"):
 _COST_KEYS = ("flops", "transcendentals", "bytes accessed")
 
 
-def _lowered_cost(atmospheres, configs, camera, opaque, height, width):
+def _cost_device(platform):
+    """A device of ``platform`` for cost lowering, or None (→ default).
+
+    The inventory wants the CPU lowering: XLA's TPU pipeline duplicates
+    flops into consumer fusions (measured 2.6× the raw trace inventory on
+    the 64-step gas-giant march, CHANGELOG r4), which the Mosaic megakernel
+    — compiled straight from the same trace — does not pay.  The CPU
+    lowering counts each traced op once, matching what the kernel
+    schedules.  bench.py exposes the cpu platform alongside axon for this
+    (``JAX_PLATFORMS=axon,cpu``)."""
+    if platform is None:
+        return None
+    try:
+        return jax.local_devices(backend=platform)[0]
+    except RuntimeError:
+        return None
+
+
+def _lowered_cost(atmospheres, configs, camera, opaque, height, width,
+                  platform="cpu"):
+    import contextlib
+
     from ..render.renderer import _render_jit
 
-    lowered = _render_jit.lower(atmospheres, configs, camera, opaque,
-                                height, width)
-    cost = lowered.compile().cost_analysis()
+    dev = _cost_device(platform)
+    ctx = jax.default_device(dev) if dev is not None else (
+        contextlib.nullcontext())
+    with ctx:
+        lowered = _render_jit.lower(atmospheres, configs, camera, opaque,
+                                    height, width)
+        cost = lowered.compile().cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax returns [dict]
         cost = cost[0]
     return tuple(float(cost.get(k, 0.0)) for k in _COST_KEYS)
 
 
 def frame_cost(atmospheres, configs, camera, opaque, height: int,
-               width: int, exact_loops: bool = True) -> dict:
+               width: int, exact_loops: bool = True,
+               platform: str = "cpu") -> dict:
     """Per-pixel FLOP/transcendental counts from XLA's cost analysis.
 
     The megakernel and the XLA path share one shading trace
@@ -120,15 +146,19 @@ def frame_cost(atmospheres, configs, camera, opaque, height: int,
     returned (``breakdown``) so callers can re-scale the cloud-march term
     for schedule knobs the trace doesn't model (e.g. ``cloud_lod``).
 
-    Caveats (documented, not hidden): tile culling in the Pallas path
-    skips shell-missing tiles, and the in-kernel texture mode replaces
-    procedural noise with pyramid sampling — both make the *achieved*
-    kernel flops differ from this full-frame shading model.  The MFU the
-    bench reports is therefore "full-frame shading-model FLOP throughput",
-    the roofline-comparable quantity.
+    Faithfulness to the Mosaic kernel (VERDICT r4 next #3): the trace is
+    lowered on CPU by default (``platform`` — the TPU pipeline duplicates
+    flops into consumer fusions the kernel doesn't pay, measured 2.6× on
+    the 64-step gas-giant march), and the configs' ``knot_dynamic`` makes
+    the interpolation cost the kernel's 2-live-knot form instead of the
+    K+1-term hat sum.  Remaining caveats (documented, not hidden): tile
+    culling skips shell-missing tiles and the in-kernel texture mode
+    replaces procedural noise with pyramid sampling — bench.py folds the
+    former in as ``shell_tile_coverage`` and reports the full-frame model
+    separately as ``model_flop_ratio``.
 
     Returns ``{"flops_per_pixel", "transcendentals_per_pixel",
-    "bytes_per_pixel", "analyzed_at", "breakdown"}``.
+    "bytes_per_pixel", "analyzed_at", "breakdown", "cost_platform"}``.
     """
     if not isinstance(atmospheres, tuple):
         atmospheres = tuple(atmospheres)
@@ -138,12 +168,14 @@ def frame_cost(atmospheres, configs, camera, opaque, height: int,
 
     if not exact_loops:
         flops, transc, byts = _lowered_cost(atmospheres, configs, camera,
-                                            opaque, height, width)
+                                            opaque, height, width,
+                                            platform=platform)
         return {
             "flops_per_pixel": flops / n,
             "transcendentals_per_pixel": transc / n,
             "bytes_per_pixel": byts / n,
             "analyzed_at": (height, width),
+            "cost_platform": platform if _cost_device(platform) else "default",
         }
 
     def patched(atmo_steps=None, cloud_steps=None):
@@ -171,16 +203,16 @@ def frame_cost(atmospheres, configs, camera, opaque, height: int,
     c_steps = c_counts.pop() if c_counts else 0
 
     base = _lowered_cost(atmospheres, patched(), camera, opaque,
-                         height, width)
+                         height, width, platform=platform)
     d_atmo = tuple(
         x - b for x, b in zip(_lowered_cost(
             atmospheres, patched(atmo_steps=2), camera, opaque,
-            height, width), base))
+            height, width, platform=platform), base))
     if c_steps:
         d_cloud = tuple(
             x - b for x, b in zip(_lowered_cost(
                 atmospheres, patched(cloud_steps=2), camera, opaque,
-                height, width), base))
+                height, width, platform=platform), base))
     else:
         d_cloud = (0.0, 0.0, 0.0)
 
@@ -199,4 +231,5 @@ def frame_cost(atmospheres, configs, camera, opaque, height: int,
         "bytes_per_pixel": total[2] / n,
         "analyzed_at": (height, width),
         "breakdown": breakdown,
+        "cost_platform": platform if _cost_device(platform) else "default",
     }

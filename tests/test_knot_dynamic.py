@@ -48,3 +48,30 @@ def test_knot_dynamic_coverage_only():
     hat = _render(False, 2, 2, shape_interp=False)
     dyn = _render(True, 2, 2, shape_interp=False)
     np.testing.assert_allclose(dyn, hat, atol=5e-6, rtol=1e-5)
+
+
+def test_knot_dynamic_xla_path_matches_hat():
+    """Since r5 the XLA path honors ``knot_dynamic`` too (dynamic_index
+    over the stacked knot planes) — both so the fallback renderer executes
+    the same arithmetic as the kernel and so the cost model's inventory is
+    knot-faithful (``frame_cost``, VERDICT r4 next #3).  Same rounding-only
+    envelope as the megakernel pair above."""
+    import jax.numpy as jnp
+
+    from godot_atmosphere_shader_tpu.render.renderer import render_frame
+
+    scene = build_demo_scene(variant="clouds", procedural=True)
+    cam = demo_camera("avatar")
+    scene.update(0.0, cam)
+    atmo = scene.atmospheres[0]
+    outs = {}
+    for dyn in (False, True):
+        cfg = dataclasses.replace(
+            atmo.config, cloud_coverage_interp=True, cloud_coverage_knots=8,
+            cloud_shape_interp=True, cloud_shape_knots=4, cloud_steps=8,
+            cloud_lod=1, cloud_coverage_lod=1, knot_dynamic=dyn)
+        out = render_frame((atmo.build_params(),), (cfg,), cam, scene.opaque,
+                           32, 128)
+        outs[dyn] = np.asarray(out["color"])
+    assert np.isfinite(outs[True]).all()
+    np.testing.assert_allclose(outs[True], outs[False], atol=5e-6, rtol=1e-5)

@@ -113,7 +113,11 @@ def test_sharded_taa_flight_matches_single_chip():
 def test_sharded_taa_extreme_motion_falls_back():
     """Beyond-halo motion: the sharded resolve must degrade to the current
     sample (finite, first frame still exact) — never read a neighbor's
-    rows it didn't receive."""
+    rows it didn't receive — and, since r5, it must SAY so: the derived
+    reprojection bound exceeds rows-per-shard, so the auto halo clamps and
+    warns instead of silently degrading (VERDICT r4 weak #6)."""
+    from godot_atmosphere_shader_tpu.parallel.sharding import TaaHaloWarning
+
     scene = build_demo_scene(variant="no_clouds", procedural=True)
     cam = demo_camera("space")
     times = [0.0, 0.016]
@@ -123,8 +127,9 @@ def test_sharded_taa_extreme_motion_falls_back():
     cams = np.stack([base, m1]).astype(np.float32)
 
     mesh = make_mesh(jax.devices()[:4])
-    shard = scene.render_flight(cam, times, H, W, cam_transforms=cams,
-                                interpret=True, taa_blend=0.2, mesh=mesh)
+    with pytest.warns(TaaHaloWarning, match="rows-per-shard caps"):
+        shard = scene.render_flight(cam, times, H, W, cam_transforms=cams,
+                                    interpret=True, taa_blend=0.2, mesh=mesh)
     single = scene.render_flight(cam, times, H, W, cam_transforms=cams,
                                  interpret=True, taa_blend=0.2)
     s = np.asarray(shard["color"])
@@ -133,3 +138,63 @@ def test_sharded_taa_extreme_motion_falls_back():
     # fullscreen-vs-band compiled-path ulp divergence (see above)
     np.testing.assert_allclose(s[0], np.asarray(single["color"])[0],
                                atol=1e-5)
+
+
+def _pitched(base, theta):
+    """Camera pitched about its own right axis (position unchanged — depth
+    is exactly preserved, so the resolve's disocclusion check stays green
+    and the test isolates the HALO as the only accumulation limiter)."""
+    c, s = np.cos(theta), np.sin(theta)
+    rx = np.array([[1, 0, 0, 0], [0, c, -s, 0], [0, s, c, 0], [0, 0, 0, 1]],
+                  np.float64)
+    return base @ rx
+
+
+def test_derived_halo_preserves_what_fixed_32_loses():
+    """The VERDICT r4 weak #6 scenario: a fast flight whose per-frame
+    vertical reprojection exceeds 32 rows.  ``derive_taa_halo`` must size
+    the halo from the motion (and the fixed-32 path must WARN); the derived
+    halo then preserves temporal accumulation near the shard boundary that
+    halo=32 silently degrades to the current sample."""
+    from godot_atmosphere_shader_tpu.parallel.sharding import (
+        TaaHaloWarning, derive_taa_halo)
+
+    scene = build_demo_scene(variant="no_clouds", procedural=True)
+    cam = demo_camera("space")
+    times = [0.0, 0.016]
+    base = np.asarray(cam.view_to_world, np.float64)
+    # ~0.42 rad pitch ≈ 40+ rows of vertical reprojection at 128 rows /
+    # 70° fov (f_pix ≈ 91 px): beyond a 32-row halo, inside a 64-row one
+    cams = np.stack([base, _pitched(base, 0.42)]).astype(np.float32)
+
+    mesh = make_mesh(jax.devices()[:2])  # h_local = 64 ⇒ halo can reach 64
+    halo, bound = derive_taa_halo(cams, cam, H, W, h_local=64,
+                                  opaque=scene.opaque)
+    assert 36.0 <= bound <= 64.0, f"sampled bound {bound:.1f}"
+    assert halo >= 48 and halo % 8 == 0
+
+    auto = scene.render_flight(cam, times, H, W, cam_transforms=cams,
+                               interpret=True, taa_blend=0.2, mesh=mesh)
+    with pytest.warns(TaaHaloWarning, match="beyond the configured halo"):
+        fixed = scene.render_flight(cam, times, H, W, cam_transforms=cams,
+                                    interpret=True, taa_blend=0.2, mesh=mesh,
+                                    taa_halo=32)
+    single = scene.render_flight(cam, times, H, W, cam_transforms=cams,
+                                 interpret=True, taa_blend=0.2)
+    a = np.asarray(auto["color"])[1]
+    fx = np.asarray(fixed["color"])[1]
+    sg = np.asarray(single["color"])[1]
+
+    # the frame-center band around the shard boundary (rows 48..80) stays
+    # inside the resolve's 64-row VMEM window single-chip, so there the
+    # derived halo must reproduce single-chip accumulation...
+    band = slice(48, 80)
+    d_auto = np.abs(a[band] - sg[band]).max()
+    assert d_auto < 1e-4, f"auto-halo vs single-chip: {d_auto:.2e}"
+    # ...while halo=32 lost the beyond-halo history there: visibly
+    # different from the single-chip resolve on a contiguous set of rows
+    d_fixed = np.abs(fx[band] - sg[band]).max(-1)
+    assert d_fixed.max() > 1e-3, (
+        "fixed-32 should have lost accumulation in the boundary band "
+        f"(max delta {d_fixed.max():.2e})")
+    assert (d_fixed > 1e-4).mean() > 0.01

@@ -312,6 +312,112 @@ def check_1080p_signature(update: bool = False) -> dict:
     return result
 
 
+ALLON_SIG_PATH = "tests/golden_allon_sig.npz"
+
+
+def _build_everything_on_scene():
+    """The full composite feature matrix in ONE scene (VERDICT r4 next #5):
+    baked-texture cloud pyramids + equirect panorama + a second far-mode
+    planet (engages the band plan) + the demo Environment glow.  Mirrors
+    the scene ``__graft_entry__.dryrun_multichip`` validates on the CPU
+    mesh — this compiles it on the hardware."""
+    import dataclasses as _dc
+
+    from godot_atmosphere_shader_tpu.models.demo import (build_demo_scene,
+                                                         demo_camera)
+    from godot_atmosphere_shader_tpu.models.scene import PlanetAtmosphere
+
+    scene = build_demo_scene(variant="clouds", procedural=False)
+    pano_img = np.stack([np.tile((np.arange(64) + 0.5) / 64, (32, 1)),
+                         np.tile(((np.arange(32) + 0.5) / 32)[:, None],
+                                 (1, 64)),
+                         np.full((32, 64), 0.25)], -1).astype(np.float32)
+    scene.opaque = _dc.replace(scene.opaque, panorama=pano_img)
+    scene.atmospheres.append(PlanetAtmosphere(
+        planet_radius=10.0, atmosphere_height=2.0,
+        sun=scene.atmospheres[0].sun, custom_shader="no_clouds",
+        position=(-188.991, 0.0, 192.584)))
+    cam = demo_camera("avatar")
+    scene.update(0.25, cam)
+    return scene, cam
+
+
+def check_everything_on(h: int, w: int, update: bool = False) -> dict:
+    """Check 12: the everything-on composite Mosaic-COMPILED as one frame
+    through the production ``Scene.render`` path (``render_scene_pallas``
+    with texture pyramids + panorama + the multi-planet band plan), held
+    to a committed per-block signature; glow applied on top must stay
+    finite.  The CPU-mesh dryrun validates this scene's sharding
+    semantics; until r5 it was never compiled on hardware as one frame."""
+    scene, cam = _build_everything_on_scene()
+    out = scene.render(cam, h, w)
+    img = np.asarray(out["color"])
+    import jax
+
+    glowed = np.asarray(jax.jit(scene.apply_environment)(out["color"]))
+    result = {"variant": "everything-on composite", "pose": "avatar",
+              "finite": bool(np.isfinite(img).all()),
+              "glow_finite": bool(np.isfinite(glowed).all()),
+              "nontrivial": bool(np.asarray(out["alpha"]).max() > 0.01)}
+    mean_sig, max_sig = _block_signature(img)
+    if update or not os.path.exists(ALLON_SIG_PATH):
+        np.savez_compressed(ALLON_SIG_PATH, mean=mean_sig, max=max_sig)
+        result.update({"pass": result["finite"] and result["glow_finite"]
+                       and result["nontrivial"], "updated": True})
+        return result
+    ref = np.load(ALLON_SIG_PATH)
+    dmean = float(np.abs(mean_sig.astype(np.float32)
+                         - ref["mean"].astype(np.float32)).max())
+    dmax = float(np.abs(max_sig.astype(np.float32)
+                        - ref["max"].astype(np.float32)).max())
+    result.update({
+        "block_mean_delta": dmean,
+        "block_max_delta": dmax,
+        "pass": (result["finite"] and result["glow_finite"]
+                 and result["nontrivial"] and dmean <= SIG_MEAN_TOL
+                 and dmax <= SIG_MAX_TOL),
+    })
+    return result
+
+
+def check_everything_on_sharded(h: int, w: int) -> dict:
+    """Check 13: the everything-on composite through the SHARDED scene
+    kernel (``render_scene_pallas_sharded``) Mosaic-compiled on the
+    hardware mesh (n_devices=1 here: the band machinery, traced-arg
+    shard_map and dynamic row offsets all still execute), against the
+    unsharded frame.  Tolerance 1e-5 matches the CPU-mesh dryrun bound
+    (measured there: 5.96e-8 — the pano/texture gather chains accumulate
+    float rounding across compilation contexts, unlike the plain band
+    check's strict 0.0)."""
+    from godot_atmosphere_shader_tpu.ops.pallas.megakernel import (
+        render_scene_pallas)
+    from godot_atmosphere_shader_tpu.parallel.sharding import (
+        make_mesh, render_scene_pallas_sharded)
+
+    scene, cam = _build_everything_on_scene()
+    order, params, configs = scene._sorted_layers(cam)
+    plan = scene._pallas_plan(params, configs)
+    pano = scene._pano_plan()
+    assert plan is not None and pano is not None, "plan building failed"
+    aug_configs, tex_data = plan
+    mesh = make_mesh()
+    full = np.asarray(render_scene_pallas(
+        params, aug_configs, cam, scene.opaque, h, w, tex_data=tex_data,
+        pano_data=pano[0], pano_meta=pano[1])["color"])
+    shard = np.asarray(render_scene_pallas_sharded(
+        params, aug_configs, cam, scene.opaque, h, w, mesh,
+        tex_data=tex_data, pano_data=pano[0], pano_meta=pano[1])["color"])
+    delta = float(np.abs(shard - full).max())
+    return {
+        "variant": "everything-on sharded",
+        "pose": "avatar",
+        "n_devices": int(len(mesh.devices.ravel())),
+        "shard_vs_full_max_delta": delta,
+        "finite": bool(np.isfinite(shard).all()),
+        "pass": bool(delta <= 1e-5 and np.isfinite(shard).all()),
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("-o", "--output", default="TPU_CHECKS.json")
@@ -366,6 +472,22 @@ def main() -> int:
         print(f"{status:4s} 1080p signature  avatar    "
               f"block mean Δ {r['block_mean_delta']:.2e} "
               f"max Δ {r['block_max_delta']:.2e}")
+    r = check_everything_on(h, w, update=args.update_signature)
+    results.append(r)
+    status = "ok" if r["pass"] else "FAIL"
+    if r.get("updated"):
+        print(f"{status:4s} everything-on    REGENERATED → {ALLON_SIG_PATH}")
+    else:
+        print(f"{status:4s} everything-on    avatar    "
+              f"block mean Δ {r['block_mean_delta']:.2e} "
+              f"max Δ {r['block_max_delta']:.2e} "
+              f"(glow finite={r['glow_finite']})")
+    r = check_everything_on_sharded(h, w)
+    results.append(r)
+    status = "ok" if r["pass"] else "FAIL"
+    print(f"{status:4s} everything-on sharded       "
+          f"shard-vs-full max Δ {r['shard_vs_full_max_delta']:.2e} "
+          f"({r['n_devices']} device(s))")
 
     verdict = {
         "device": device,

@@ -84,15 +84,10 @@ _COST_KEYS = ("flops", "transcendentals", "bytes accessed")
 
 
 def _cost_device(platform):
-    """A device of ``platform`` for cost lowering, or None (→ default).
-
-    The inventory wants the CPU lowering: XLA's TPU pipeline duplicates
-    flops into consumer fusions (measured 2.6× the raw trace inventory on
-    the 64-step gas-giant march, CHANGELOG r4), which the Mosaic megakernel
-    — compiled straight from the same trace — does not pay.  The CPU
-    lowering counts each traced op once, matching what the kernel
-    schedules.  bench.py exposes the cpu platform alongside axon for this
-    (``JAX_PLATFORMS=axon,cpu``)."""
+    """A device of ``platform`` for COMPILED cost lowering, or None
+    (→ default device).  Only used for the cross-check platforms
+    (``"cpu"``/``"tpu"``); the default inventory is ``"trace"``, which
+    never lowers (see ``frame_cost``)."""
     if platform is None:
         return None
     try:
@@ -107,6 +102,12 @@ def _lowered_cost(atmospheres, configs, camera, opaque, height, width,
 
     from ..render.renderer import _render_jit
 
+    if platform == "trace":
+        traced = _render_jit.trace(atmospheres, configs, camera, opaque,
+                                   height, width)
+        c = jaxpr_cost(traced.jaxpr)
+        return (c["flops"], c["transcendentals"], c["bytes"], c["unknown"])
+
     dev = _cost_device(platform)
     ctx = jax.default_device(dev) if dev is not None else (
         contextlib.nullcontext())
@@ -116,49 +117,226 @@ def _lowered_cost(atmospheres, configs, camera, opaque, height, width,
         cost = lowered.compile().cost_analysis()
     if isinstance(cost, (list, tuple)):  # older jax returns [dict]
         cost = cost[0]
-    return tuple(float(cost.get(k, 0.0)) for k in _COST_KEYS)
+    return tuple(float(cost.get(k, 0.0)) for k in _COST_KEYS) + ({},)
+
+
+# --- jaxpr arithmetic inventory (platform="trace") ------------------------
+#
+# XLA's compiled cost_analysis is TARGET-DEPENDENT: the TPU pipeline
+# attributes fused producers once per consumer fusion (measured 2.6x on the
+# 64-step march, CHANGELOG r4), while the CPU pipeline algebraically expands
+# transcendental-adjacent ops into hundreds of HLO flops BEFORE the analysis
+# runs (measured on the same trace: 108k flops/px on one CPU host vs 26k
+# TPU-lowered — and the expansion depends on the host's vector ISA, so the
+# number isn't even stable across CPU machines).  The inventory the roofline
+# wants is "each traced op once" — which is exactly the jaxpr.  This walker
+# counts the trace directly: deterministic across hosts, rounds, and jax
+# backends, and faithful to the Mosaic megakernel, which compiles from the
+# same trace without either backend's rewriting.
+
+#: elementwise ops costing one VPU lane-op per output element.  Includes
+#: integer/bool lane arithmetic (hash-based noise is int-heavy; int ops
+#: occupy the same VPU issue slots as float ones) and compares/selects.
+_ONE_FLOP = frozenset((
+    "add", "sub", "mul", "max", "min", "neg", "abs", "sign", "floor",
+    "ceil", "round", "rem", "nextafter", "copysign", "square",
+    "is_finite", "not", "and", "or", "xor", "shift_left",
+    "shift_right_logical", "shift_right_arithmetic", "population_count",
+    "clz", "eq", "ne", "lt", "le", "gt", "ge", "select_n",
+))
+#: ops on the VPU's special-function path, counted as transcendentals and
+#: priced by the measured exp rate (tools/vpu_peak.py exp_cost_in_fmas).
+_TRANSC = frozenset((
+    "exp", "exp2", "expm1", "log", "log2", "log1p", "sin", "cos", "tan",
+    "asin", "acos", "atan", "sinh", "cosh", "tanh", "asinh", "acosh",
+    "atanh", "erf", "erfc", "erf_inv", "logistic", "sqrt", "rsqrt",
+    "cbrt", "div",
+))
+#: pure data movement / layout — no lane arithmetic (the kernel pays bytes,
+#: not flops; gathers are counted in bytes and are the megakernel's own
+#: lane-gather budget, measured separately in ops/pallas/texsample.py)
+_ZERO_FLOP = frozenset((
+    "broadcast_in_dim", "reshape", "squeeze", "expand_dims", "transpose",
+    "rev", "slice", "dynamic_slice", "dynamic_update_slice", "concatenate",
+    "pad", "gather", "scatter", "iota", "convert_element_type",
+    "bitcast_convert_type", "stop_gradient", "copy", "device_put",
+    "split", "real", "imag", "empty", "reduce_precision", "tile",
+))
+#: reductions: one lane-op per INPUT element (tree-add over the inputs)
+_REDUCE = frozenset((
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_prod", "reduce_and",
+    "reduce_or", "reduce_xor", "argmax", "argmin", "cumsum", "cummax",
+    "cummin", "cumprod",
+))
+
+
+def _aval_size(v):
+    n = 1
+    for d in v.aval.shape:
+        n *= d
+    return n
+
+
+def _aval_bytes(v):
+    try:
+        return _aval_size(v) * v.aval.dtype.itemsize
+    except Exception:
+        return 0
+
+
+def _subjaxprs(params):
+    """Jaxprs nested in an eqn's params (pjit/scan/while/cond/custom_*).
+
+    Multiplicity is the CALLER's job: ``jaxpr_cost`` multiplies scan
+    bodies by ``length``, takes the max over cond branches, and counts
+    while bodies ONCE — the same convention as XLA's cost model, which
+    ``frame_cost`` already corrects for by unrolling the marches and
+    extrapolating affinely."""
+    out = []
+    for val in params.values():
+        vals = val if isinstance(val, (list, tuple)) else (val,)
+        for v in vals:
+            inner = getattr(v, "jaxpr", None)
+            if hasattr(v, "eqns") or (inner is not None
+                                      and hasattr(inner, "eqns")):
+                out.append(v)
+    return out
+
+
+def jaxpr_cost(jaxpr) -> dict:
+    """Walk a (Closed)Jaxpr and inventory its lane arithmetic.
+
+    Returns ``{"flops", "transcendentals", "bytes", "unknown"}`` —
+    ``unknown`` maps primitive names the table doesn't cover to their
+    total output elements, so uncounted work is VISIBLE in the result
+    instead of silently dropped."""
+    inner = getattr(jaxpr, "jaxpr", None)
+    if inner is not None and hasattr(inner, "eqns"):
+        jaxpr = inner
+    flops = 0.0
+    transc = 0.0
+    byts = 0.0
+    unknown: dict = {}
+
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        out_n = sum(_aval_size(v) for v in eqn.outvars)
+        in_n = sum(_aval_size(v) for v in eqn.invars
+                   if hasattr(v, "aval"))
+        byts += sum(_aval_bytes(v) for v in eqn.outvars)
+
+        subs = _subjaxprs(eqn.params)
+        if subs:
+            if name == "cond":  # lax.cond/switch: max over branches (the
+                # kernel predicates both sides only when it must)
+                best = None
+                for sub in subs:
+                    c = jaxpr_cost(sub)
+                    if best is None or (c["flops"] + c["transcendentals"]
+                                        > best["flops"]
+                                        + best["transcendentals"]):
+                        best = c
+                if best:
+                    flops += best["flops"]
+                    transc += best["transcendentals"]
+                    byts += best["bytes"]
+                    for k, v in best["unknown"].items():
+                        unknown[k] = unknown.get(k, 0) + v
+            else:
+                mult = eqn.params.get("length", 1) if name == "scan" else 1
+                for sub in subs:
+                    c = jaxpr_cost(sub)
+                    flops += mult * c["flops"]
+                    transc += mult * c["transcendentals"]
+                    byts += mult * c["bytes"]
+                    for k, v in c["unknown"].items():
+                        unknown[k] = unknown.get(k, 0) + mult * v
+            continue
+
+        if name in _ONE_FLOP:
+            flops += out_n
+        elif name in _TRANSC:
+            transc += out_n
+        elif name == "atan2":  # atan + quadrant fixup selects
+            transc += out_n
+            flops += 3 * out_n
+        elif name == "pow":  # exp(y*log(x)) on every backend here
+            transc += 2 * out_n
+            flops += out_n
+        elif name == "integer_pow":
+            p = abs(int(eqn.params.get("y", 2)))
+            muls = max(p.bit_length() - 1 + bin(p).count("1") - 1, 0)
+            flops += muls * out_n + (out_n if eqn.params.get("y", 2) < 0
+                                     else 0)
+        elif name == "clamp":
+            flops += 2 * out_n
+        elif name in _REDUCE:
+            flops += in_n
+        elif name == "dot_general":
+            d = eqn.params["dimension_numbers"]
+            (lc, _), (lb, _) = d
+            lhs = eqn.invars[0].aval.shape
+            k = 1
+            for ax in lc:
+                k *= lhs[ax]
+            flops += 2.0 * out_n * k
+        elif name in _ZERO_FLOP:
+            pass
+        else:
+            unknown[name] = unknown.get(name, 0) + out_n
+
+    return {"flops": flops, "transcendentals": transc, "bytes": byts,
+            "unknown": unknown}
 
 
 def frame_cost(atmospheres, configs, camera, opaque, height: int,
                width: int, exact_loops: bool = True,
-               platform: str = "cpu") -> dict:
-    """Per-pixel FLOP/transcendental counts from XLA's cost analysis.
+               platform: str = "trace") -> dict:
+    """Per-pixel FLOP/transcendental inventory of the shading trace.
 
     The megakernel and the XLA path share one shading trace
-    (``render/atmosphere_pass.shade_atmosphere``), so the compiled XLA
-    path's cost model is a faithful arithmetic inventory of the work the
-    kernel performs per shaded pixel.  Counts scale linearly with pixels
-    (every march is a fixed-count loop), so analyze at a small resolution
-    and scale by the pixel ratio — ``flops_per_pixel`` is
-    resolution-independent.
+    (``render/atmosphere_pass.shade_atmosphere``), so an arithmetic
+    inventory of that trace describes the work the kernel performs per
+    shaded pixel.  Counts scale linearly with pixels (every march is a
+    fixed-count loop), so analyze at a small resolution and scale by the
+    pixel ratio — ``flops_per_pixel`` is resolution-independent.
 
-    ``exact_loops`` (default): XLA's cost model counts a ``while`` body
-    ONCE, not ×trip-count (measured: an 8-step and a 64-step march report
-    identical flops), so a single lowering systematically undercounts
-    march work.  Recover exact counts from the cost model's affine
-    structure in the step counts: lower the trace with all step counts at
-    1 and the march loops UNROLLED (``VariantConfig.march_unroll`` — tiny
-    traces, fast compiles), then once more per varied knob (atmosphere
-    steps 1→2, cloud steps 1→2) to measure the per-step cost, and
-    extrapolate ``total = base + Σ(steps−1)·per_step``.  Exact for op
-    counts because the while body is the unit of execution — each
-    iteration runs the same compiled body.  The decomposition is also
-    returned (``breakdown``) so callers can re-scale the cloud-march term
-    for schedule knobs the trace doesn't model (e.g. ``cloud_lod``).
+    ``platform="trace"`` (default) counts the jaxpr directly with
+    ``jaxpr_cost`` — each traced op once, scan bodies ×length, no
+    backend lowering involved.  This is the only HOST-INDEPENDENT
+    inventory: XLA's compiled ``cost_analysis`` is target-dependent in
+    both directions (the TPU pipeline duplicates fused producers once per
+    consumer fusion, measured 2.6× on the 64-step march; the CPU pipeline
+    algebraically expands transcendentals into their polynomial flops
+    BEFORE the analysis, measured 4.1× on the same trace — and the
+    expansion varies with the host's vector ISA).  ``platform="cpu"`` /
+    ``"tpu"`` keep those compiled analyses available for cross-checks.
 
-    Faithfulness to the Mosaic kernel (VERDICT r4 next #3): the trace is
-    lowered on CPU by default (``platform`` — the TPU pipeline duplicates
-    flops into consumer fusions the kernel doesn't pay, measured 2.6× on
-    the 64-step gas-giant march), and the configs' ``knot_dynamic`` makes
-    the interpolation cost the kernel's 2-live-knot form instead of the
-    K+1-term hat sum.  Remaining caveats (documented, not hidden): tile
-    culling skips shell-missing tiles and the in-kernel texture mode
-    replaces procedural noise with pyramid sampling — bench.py folds the
-    former in as ``shell_tile_coverage`` and reports the full-frame model
-    separately as ``model_flop_ratio``.
+    ``exact_loops`` (default): XLA's compiled cost model counts a
+    ``while`` body ONCE, not ×trip-count, so compiled platforms need the
+    affine recovery: lower with all step counts at 1 and the march loops
+    UNROLLED (``VariantConfig.march_unroll``), once more per knob at 2
+    steps, and extrapolate ``total = base + Σ(steps−1)·per_step``.  On
+    the trace path the marches are ``scan``s whose lengths the walker
+    already multiplies, so the extrapolation is exact by construction
+    (pinned: extrapolated == full-config trace to float precision) — it
+    is still run because the ``breakdown`` decomposition lets callers
+    re-scale the march terms for schedule knobs the trace doesn't model
+    (tile culling coverage, ``cloud_lod``).
+
+    Faithfulness to the Mosaic kernel (VERDICT r4 next #3): the configs'
+    ``knot_dynamic`` makes the interpolation cost the kernel's
+    2-live-knot form instead of the K+1-term hat sum.  Remaining caveats
+    (documented, not hidden): tile culling skips shell-missing tiles and
+    the in-kernel texture mode replaces procedural noise with pyramid
+    sampling — bench.py folds the former in as ``shell_tile_coverage``
+    and reports the full-frame model separately as ``model_flop_ratio``.
 
     Returns ``{"flops_per_pixel", "transcendentals_per_pixel",
-    "bytes_per_pixel", "analyzed_at", "breakdown", "cost_platform"}``.
+    "bytes_per_pixel", "analyzed_at", "breakdown", "cost_platform",
+    "unknown_ops"}`` — ``unknown_ops`` is non-empty iff the trace
+    contains primitives the inventory doesn't price (they'd otherwise be
+    silently dropped; tests pin it empty for every bench config).
     """
     if not isinstance(atmospheres, tuple):
         atmospheres = tuple(atmospheres)
@@ -166,16 +344,22 @@ def frame_cost(atmospheres, configs, camera, opaque, height: int,
         configs = tuple(configs)
     n = float(height * width)
 
+    if platform == "trace":
+        cost_platform = "trace"
+    else:
+        cost_platform = platform if _cost_device(platform) else "default"
+
     if not exact_loops:
-        flops, transc, byts = _lowered_cost(atmospheres, configs, camera,
-                                            opaque, height, width,
-                                            platform=platform)
+        flops, transc, byts, unknown = _lowered_cost(
+            atmospheres, configs, camera, opaque, height, width,
+            platform=platform)
         return {
             "flops_per_pixel": flops / n,
             "transcendentals_per_pixel": transc / n,
             "bytes_per_pixel": byts / n,
             "analyzed_at": (height, width),
-            "cost_platform": platform if _cost_device(platform) else "default",
+            "cost_platform": cost_platform,
+            "unknown_ops": unknown,
         }
 
     def patched(atmo_steps=None, cloud_steps=None):
@@ -202,17 +386,17 @@ def frame_cost(atmospheres, configs, camera, opaque, height: int,
     a_steps = a_counts.pop()
     c_steps = c_counts.pop() if c_counts else 0
 
-    base = _lowered_cost(atmospheres, patched(), camera, opaque,
-                         height, width, platform=platform)
+    *base, unknown = _lowered_cost(atmospheres, patched(), camera, opaque,
+                                   height, width, platform=platform)
     d_atmo = tuple(
         x - b for x, b in zip(_lowered_cost(
             atmospheres, patched(atmo_steps=2), camera, opaque,
-            height, width, platform=platform), base))
+            height, width, platform=platform)[:3], base))
     if c_steps:
         d_cloud = tuple(
             x - b for x, b in zip(_lowered_cost(
                 atmospheres, patched(cloud_steps=2), camera, opaque,
-                height, width, platform=platform), base))
+                height, width, platform=platform)[:3], base))
     else:
         d_cloud = (0.0, 0.0, 0.0)
 
@@ -231,5 +415,6 @@ def frame_cost(atmospheres, configs, camera, opaque, height: int,
         "bytes_per_pixel": total[2] / n,
         "analyzed_at": (height, width),
         "breakdown": breakdown,
-        "cost_platform": platform if _cost_device(platform) else "default",
+        "cost_platform": cost_platform,
+        "unknown_ops": unknown,
     }

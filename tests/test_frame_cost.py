@@ -88,6 +88,124 @@ def test_march_unroll_is_semantically_inert():
     np.testing.assert_allclose(unrolled, rolled, atol=1e-5)
 
 
+def test_jaxpr_cost_exact_on_known_function():
+    """The inventory is exact where counts are hand-computable."""
+    import jax
+    import jax.numpy as jnp
+
+    from godot_atmosphere_shader_tpu.utils.profiling import jaxpr_cost
+
+    def f(x):
+        return jnp.exp(x * 2.0 + 1.0)
+
+    c = jaxpr_cost(jax.make_jaxpr(f)(jnp.ones(8, jnp.float32)))
+    assert c["flops"] == 16          # mul + add, 8 lanes each
+    assert c["transcendentals"] == 8  # exp
+    assert c["unknown"] == {}
+
+
+def test_jaxpr_cost_scan_body_multiplied_by_length():
+    """scan bodies count ×length — the property that makes the trace
+    inventory exact for the march loops (fori_loop with static bounds
+    lowers to scan), where XLA's compiled cost model counts once."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from godot_atmosphere_shader_tpu.utils.profiling import jaxpr_cost
+
+    def body(c, x):
+        return c * x + 1.0, None
+
+    def f(x):
+        return lax.scan(body, jnp.float32(0.0), x)[0]
+
+    c5 = jaxpr_cost(jax.make_jaxpr(f)(jnp.ones(5, jnp.float32)))
+    c9 = jaxpr_cost(jax.make_jaxpr(f)(jnp.ones(9, jnp.float32)))
+    assert c9["flops"] - c5["flops"] == 4 * 2  # 2 flops per iteration
+    assert c5["unknown"] == {}
+
+
+def test_jaxpr_cost_cond_takes_max_branch():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from godot_atmosphere_shader_tpu.utils.profiling import jaxpr_cost
+
+    def f(p, x):
+        return lax.cond(p, lambda v: v * v + v, lambda v: v + 1.0, x)
+
+    c = jaxpr_cost(jax.make_jaxpr(f)(True, jnp.ones(8, jnp.float32)))
+    assert c["flops"] == 16  # expensive branch: mul + add over 8 lanes
+    assert c["unknown"] == {}
+
+
+def test_trace_extrapolation_matches_full_config():
+    """On the trace platform the affine extrapolation is exact by
+    construction: the full-config trace's scans carry their lengths, so
+    walking it directly must equal base + Σ(steps−1)·per_step.  This is
+    the consistency proof that the roofline's flops_per_pixel describes
+    the configured march, not a 1-step proxy."""
+    import jax
+
+    from godot_atmosphere_shader_tpu.render.renderer import _render_jit
+    from godot_atmosphere_shader_tpu.utils.profiling import jaxpr_cost
+
+    scene, atmos, cfgs = _scene_parts("clouds")
+    cam = demo_camera("exterior")
+    got = frame_cost(atmos, cfgs, cam, scene.opaque, *RES, platform="trace")
+    assert got["cost_platform"] == "trace"
+    assert got["unknown_ops"] == {}
+
+    traced = _render_jit.trace(atmos, cfgs, cam, scene.opaque, *RES)
+    full = jaxpr_cost(traced.jaxpr)
+    n = RES[0] * RES[1]
+    assert got["flops_per_pixel"] == pytest.approx(full["flops"] / n,
+                                                   rel=1e-9)
+    assert got["transcendentals_per_pixel"] == pytest.approx(
+        full["transcendentals"] / n, rel=1e-9)
+    assert full["unknown"] == {}
+
+
+def test_trace_inventory_prices_every_primitive():
+    """unknown_ops stays empty across the shading-model space the bench
+    exercises (v1, v2+clouds+RM lighting, texture mode) — a new primitive
+    entering the trace must be priced, not silently dropped."""
+    for variant, procedural in (("v1_no_clouds", True),
+                                ("clouds_high_rm", True),
+                                ("clouds", False)):
+        scene = build_demo_scene(variant=variant, procedural=procedural)
+        atmos = tuple(a.build_params() for a in scene.atmospheres)
+        cfgs = tuple(a.effective_config() for a in scene.atmospheres)
+        c = frame_cost(atmos, cfgs, demo_camera("exterior"), scene.opaque,
+                       *RES, platform="trace")
+        assert c["unknown_ops"] == {}, (variant, c["unknown_ops"])
+
+
+def test_opaque_only_trace_splits_the_base():
+    """bench's scheduled-work floor scales the IN-KERNEL base by tile
+    coverage (tile_cull skips ray setup/shell tests/knot evals in culled
+    tiles) and keeps only the truly frame-wide work — opaque pass +
+    composite, measured by tracing with zero atmospheres — unscaled.
+    Pins that the zero-atmosphere trace works and never exceeds the full
+    shading base (bench min()-clamps, but a violation would mean the
+    opaque trace counts work the full frame doesn't — a model bug).  How
+    MUCH of the base is in-kernel is config-dependent: measured 395 of
+    12260 flops/px on the rm multi-planet scene (where the split moved
+    mfu_device from an impossible 1.26 to ~0.4) but 395 of 574 on this
+    cheap procedural-clouds scene."""
+    scene, atmos, cfgs = _scene_parts("clouds")
+    cam = demo_camera("exterior")
+    op = frame_cost((), (), cam, scene.opaque, *RES, exact_loops=False,
+                    platform="trace")
+    assert op["flops_per_pixel"] > 0
+    assert op["unknown_ops"] == {}
+    full = frame_cost(atmos, cfgs, cam, scene.opaque, *RES,
+                      platform="trace")
+    assert op["flops_per_pixel"] <= full["breakdown"]["base"]["flops"]
+
+
 def test_cloud_step_coefficient_separates():
     scene, atmos, cfgs = _scene_parts("clouds")
     cam = demo_camera("exterior")
